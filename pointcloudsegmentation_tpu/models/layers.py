@@ -1,0 +1,301 @@
+"""Layer primitives shared by the model zoo.
+
+The reference builds every conv out of the same DenseNet-style concat-growth
+MLP applied per edge (model_pointnet.py:10-24, tf_ops/graph_layer_new.py) —
+``for d in dims: x = concat([relu(Dense(d)(x)), x]); out = Dense(ofn)(x)``.
+Here the edge axis is the dense K axis, so each Dense is one big
+``[N*K, C] @ [C, D]`` matmul on the MXU.
+
+Init matches the reference's ``tf.contrib.layers.fully_connected`` defaults:
+Xavier/Glorot-uniform kernels, zero biases, ReLU activation.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops import neighbors as nb
+from ..ops.types import Neighborhood
+
+glorot = nn.initializers.glorot_uniform()
+
+
+class Dense(nn.Dense):
+    """nn.Dense with the reference's Xavier-uniform default init."""
+
+    kernel_init: Callable = glorot
+
+
+def fc(x: jnp.ndarray, dim: int, name: str,
+       activation: Optional[Callable] = nn.relu):
+    """Functional helper used inside Modules via nn.Dense submodule."""
+    y = Dense(dim, name=name)(x)
+    return activation(y) if activation is not None else y
+
+
+class GrowthMLP(nn.Module):
+    """Concat-growth MLP: each hidden layer's output is concatenated onto the
+    running feature vector, then a final linear projection.
+
+    ``new_first=True`` matches pointnet_conv/mlp (concat([cfeats, sfeats]),
+    model_pointnet.py:15-21); ``new_first=False`` matches pointnet_deconv
+    (model_pointnet.py:91-94).
+    """
+
+    dims: Sequence[int]
+    out_dim: int
+    out_activation: Optional[Callable] = None
+    new_first: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dims):
+            c = nn.relu(Dense(d, name=f"fc_{i}")(x))
+            x = jnp.concatenate([c, x] if self.new_first else [x, c], axis=-1)
+        y = Dense(self.out_dim, name="fc_out")(x)
+        return self.out_activation(y) if self.out_activation else y
+
+
+class FCEmbed(nn.Module):
+    """Bottleneck embedding before a conv (``fc_embed``,
+    model_pointnet.py:101-104) — leaky-ReLU Dense."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.leaky_relu(Dense(self.dim, name="fc_embed")(x))
+
+
+class PointNetConv(nn.Module):
+    """PointNet-style concat conv + segment max
+    (``pointnet_conv``, model_pointnet.py:10-24):
+    per edge concat [center ‖ neighbor ‖ sxyz] -> GrowthMLP -> linear ->
+    masked max over the neighborhood.
+
+    ``concat_growth=False`` gives the plain-MLP variant
+    (``pointnet_conv_noconcat``, model_pointnet.py:41-54).
+    ``use_feats=False`` gives the xyz-only variant
+    (``pointnet_conv_nofeats``, model_pointnet.py:26-39).
+    """
+
+    fc_dims: Sequence[int]
+    out_dim: int
+    concat_growth: bool = True
+    use_feats: bool = True
+
+    @nn.compact
+    def __call__(self, sxyz: jnp.ndarray, feats: Optional[jnp.ndarray],
+                 nbr: Neighborhood) -> jnp.ndarray:
+        if self.use_feats:
+            assert feats is not None
+            x = jnp.concatenate([nb.neighbor_concat(feats, nbr), sxyz],
+                                axis=-1)
+        else:
+            x = sxyz
+        if self.concat_growth:
+            for i, d in enumerate(self.fc_dims):
+                c = nn.relu(Dense(d, name=f"fc_{i}")(x))
+                x = jnp.concatenate([c, x], axis=-1)
+        else:
+            for i, d in enumerate(self.fc_dims):
+                x = nn.relu(Dense(d, name=f"fc_{i}")(x))
+        x = Dense(self.out_dim, name="fc_out")(x)
+        return nb.masked_max(x, nbr)
+
+
+class PointNetPoolMLP(nn.Module):
+    """Per-point MLP on [dxyz ‖ feats] whose output feeds a voxel max-pool
+    (``pointnet_pool``, model_pointnet.py:56-69).  Returns the per-point
+    features; the caller segment-max-pools them (keeps pooling
+    hierarchy-agnostic)."""
+
+    fc_dims: Sequence[int]
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, dxyz: jnp.ndarray, feats: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.concatenate([dxyz, feats], axis=-1)
+        return GrowthMLP(self.fc_dims, self.out_dim, name="mlp")(x)
+
+
+class ECDConv(nn.Module):
+    """Edge-Conditioned Diffusion conv (``diff_feats_ecd`` / ``ecd_feats``,
+    tf_ops/graph_layer_new.py:4-30, model_pgnet.py:4-32):
+
+    phi-MLP on [x_j - x_i ‖ sxyz] -> tanh edge weights [ifn] ->
+    weight neighbor feats -> g-MLP (concat growth) ->
+    eps-regularized mean over neighbors -> ReLU out FC.
+
+    ``use_xyz_only=True`` is ``ecd_xyz`` (model_pgnet.py:35-62): the edge
+    feature is the phi-grown sxyz itself and weights match its width.
+    """
+
+    phi_dims: Sequence[int]
+    g_dims: Sequence[int]
+    out_dim: int
+    use_xyz_only: bool = False
+    eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, sxyz: jnp.ndarray, feats: Optional[jnp.ndarray],
+                 nbr: Neighborhood) -> jnp.ndarray:
+        if self.use_xyz_only:
+            phi = sxyz
+        else:
+            assert feats is not None
+            phi = jnp.concatenate([nb.neighbor_diff(feats, nbr), sxyz],
+                                  axis=-1)
+        for i, d in enumerate(self.phi_dims):
+            c = nn.relu(Dense(d, name=f"ifc_{i}")(phi))
+            phi = jnp.concatenate([c, phi], axis=-1)
+
+        if self.use_xyz_only:
+            ifn = phi.shape[-1]
+            edge = phi
+        else:
+            ifn = feats.shape[-1]
+            edge = nb.gather_neighbors(feats, nbr)
+        ew = nn.tanh(Dense(ifn, name="fc_ew")(phi))
+        x = ew * edge
+        for i, d in enumerate(self.g_dims):
+            c = nn.relu(Dense(d, name=f"ofc_{i}")(x))
+            x = jnp.concatenate([c, x], axis=-1)
+        pooled = nb.masked_mean_eps(x, nbr, self.eps)
+        return nn.relu(Dense(self.out_dim, name="fc_out")(pooled))
+
+
+class AnchorConv(nn.Module):
+    """Explicit-anchor Gaussian conv (``anchor_conv_v2``,
+    tf_ops/graph_layer_new.py:224-255): per-point embed to [an*ed], gather to
+    edges, weight by exp(-rescale·‖sxyz - anchor‖²), segment-sum, out FC.
+
+    Deterministic segment sums replace the reference's atomicAdd gather.
+    """
+
+    out_dim: int
+    anchor_num: int
+    embed_dim: int
+    rescale_ratio: float = 4.0
+    trainable_anchor: bool = True
+
+    @nn.compact
+    def __call__(self, sxyz: jnp.ndarray, feats: jnp.ndarray,
+                 nbr: Neighborhood) -> jnp.ndarray:
+        from ..ops import anchors as anchor_gen
+
+        an, ed = self.anchor_num, self.embed_dim
+        emb = Dense(an * ed, name="fc_embed")(feats)           # [N, an*ed]
+        edge = nb.gather_neighbors(emb, nbr)                   # [N, K, an*ed]
+        edge = edge.reshape(edge.shape[0], edge.shape[1], an, ed)
+
+        init = anchor_gen.sphere_kmeans_anchors(an).T          # [an, 3]
+        if self.trainable_anchor:
+            anchors = self.param("anchor", lambda k: jnp.asarray(init))
+        else:
+            anchors = jnp.asarray(init)
+        d2 = jnp.sum(
+            (sxyz[:, :, None, :] - anchors[None, None, :, :]) ** 2, axis=-1)
+        w = jnp.exp(-d2 * self.rescale_ratio)                  # [N, K, an]
+        w = w * nbr.mask[..., None].astype(w.dtype)
+        agg = jnp.einsum("nka,nkae->nae", w, edge)             # [N, an, ed]
+        agg = agg.reshape(agg.shape[0], an * ed)
+        return nn.relu(Dense(self.out_dim, name="fc_out")(agg))
+
+
+class GPNConv(nn.Module):
+    """Gaussian-anchored location-weighted conv (the thesis "GPN" conv,
+    ``graph_conv_xyz_feats`` family, tf_ops/graph_conv_layer.py:74-275):
+
+    lw = exp(sxyz · pmiu)  [N,K,m]; tfeats = (cat(sxyz, sfeats)) @ pw
+    reshaped to [N,K,m,ofn]; out = Σ_k lw·tfeats / Σ_k lw  summed over m.
+
+    ``mode='xyz'`` omits feats (graph_conv_xyz), ``mode='feats'`` omits sxyz
+    from the projection (graph_conv_feats, weight applied on point feats
+    before the gather — weight-before-scatter, graph_conv_layer.py:147-156).
+    """
+
+    m: int
+    out_dim: int
+    mode: str = "xyz_feats"  # xyz | feats | xyz_feats
+    use_bias: bool = True
+    activation: Optional[Callable] = nn.relu
+    pmiu_trainable: bool = False
+
+    @nn.compact
+    def __call__(self, sxyz: jnp.ndarray, feats: Optional[jnp.ndarray],
+                 nbr: Neighborhood,
+                 lw: Optional[jnp.ndarray] = None,
+                 lw_sum: Optional[jnp.ndarray] = None):
+        from ..ops import anchors as anchor_gen
+
+        if self.mode == "xyz":
+            cfeats = sxyz                                      # [N,K,3]
+        elif self.mode == "feats":
+            cfeats = nb.gather_neighbors(feats, nbr)           # [N,K,F]
+        else:
+            cfeats = jnp.concatenate(
+                [sxyz, nb.gather_neighbors(feats, nbr)], axis=-1)
+        ifn = cfeats.shape[-1]
+        pw = self.param("pw", glorot, (ifn, self.m * self.out_dim))
+        tfeats = (cfeats @ pw).reshape(
+            cfeats.shape[0], cfeats.shape[1], self.m, self.out_dim)
+
+        if lw is None:
+            pmiu_init = jnp.asarray(anchor_gen.sphere_kmeans_anchors(self.m))
+            if self.pmiu_trainable:
+                pmiu = self.param("pmiu", lambda k: pmiu_init)
+            else:
+                pmiu = pmiu_init
+            lw = jnp.exp(sxyz @ pmiu)                          # [N,K,m]
+            lw = lw * nbr.mask[..., None].astype(lw.dtype)
+            lw_sum = jnp.sum(lw, axis=1)                       # [N,m]
+
+        num = jnp.einsum("nkm,nkmo->nmo", lw, tfeats)          # [N,m,ofn]
+        out = jnp.sum(num / (lw_sum[..., None] + 1e-6), axis=1)
+        if self.use_bias:
+            out = out + self.param(
+                "bias", nn.initializers.zeros, (self.out_dim,))
+        if self.activation is not None:
+            out = self.activation(out)
+        return out, lw, lw_sum
+
+
+class SegClassifier(nn.Module):
+    """The segmentation head used by every main trainer (``classifier_v3``,
+    model.py:762-799): 512 -> concat(local) -> dropout(keep 0.7) -> 256 ->
+    concat(local) -> dropout -> num_classes logits.  1x1 convs become Dense.
+    """
+
+    num_classes: int
+    dropout_rate: float = 0.3  # tf.nn.dropout keep_prob 0.7
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, pfeats: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        x = nn.relu(Dense(512, name="class_mlp1")(feats))
+        x = jnp.concatenate([x, pfeats], axis=-1)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = nn.relu(Dense(256, name="class_mlp2")(x))
+        x = jnp.concatenate([x, pfeats], axis=-1)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        return Dense(self.num_classes, name="class_mlp3")(x)
+
+
+class ProbsDiffusion(nn.Module):
+    """Iterative label smoothing over edges (``graph_probs_diffusion``,
+    model.py:920-945): probs are repeatedly averaged over the neighborhood
+    with a learned mixing weight."""
+
+    steps: int = 3
+
+    @nn.compact
+    def __call__(self, probs: jnp.ndarray, nbr: Neighborhood) -> jnp.ndarray:
+        alpha = nn.sigmoid(
+            self.param("alpha", nn.initializers.zeros, (1,)))
+        for _ in range(self.steps):
+            neigh = nb.masked_mean(nb.gather_neighbors(probs, nbr), nbr)
+            probs = (1.0 - alpha) * probs + alpha * neigh
+        return probs

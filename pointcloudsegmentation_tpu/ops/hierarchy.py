@@ -1,0 +1,72 @@
+"""In-graph voxel pooling hierarchy builder.
+
+TPU-native equivalent of the reference's ``points_pooling`` /
+``points_pooling_two_layers`` / ``points_pooling_three_layers``
+(tf_ops/graph_pooling_layer.py:39-64,110-146,261-322).  The reference sorts
+points into voxel-contiguous order at each level and then re-permutes the
+finer level after the coarser sort (ComputeRepermutationInfo); we keep points
+in place and carry segment-id maps (see types.Pyramid), so features, labels
+and any auxiliary per-point array never move.
+
+Shapes are fully static: each level has a fixed capacity, points/voxels
+beyond it fall into the overflow slot and are masked everywhere downstream.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+from . import segments as seg_ops
+from . import voxelize as vox
+from .types import Level, Pyramid
+
+
+def build_pyramid(xyz: jnp.ndarray, mask: jnp.ndarray,
+                  voxel_sizes: Sequence[float],
+                  caps: Sequence[int],
+                  block_size: float = 3.0) -> Pyramid:
+    """Build an L+1-level pyramid from a padded point set.
+
+    xyz: [N, 3]; mask: [N]; len(voxel_sizes) == len(caps) == L.
+    Level 0 is the input; level i+1 holds the voxel centers of level i
+    voxelized at voxel_sizes[i] with static capacity caps[i].
+
+    Matches the reference two-layer recipe (voxel_size1=0.15,
+    voxel_size2=0.45, block_size=3.0 for S3DIS —
+    train_graph_pool_new.py:54) when called with those sizes.
+    """
+    levels = [Level(xyz=xyz, mask=mask)]
+    segs: Tuple[jnp.ndarray, ...] = ()
+    dxyzs: Tuple[jnp.ndarray, ...] = ()
+    cur_xyz, cur_mask = xyz, mask
+    for vs, cap in zip(voxel_sizes, caps):
+        info = vox.voxelize(cur_xyz, cur_mask, vs, block_size, cap)
+        dxyz = vox.diff_to_center(cur_xyz, info.centers, info.seg)
+        dxyz = jnp.where(cur_mask[:, None], dxyz, 0.0)
+        segs += (info.seg,)
+        dxyzs += (dxyz,)
+        cur_xyz, cur_mask = info.centers, info.mask
+        levels.append(Level(xyz=cur_xyz, mask=cur_mask))
+    return Pyramid(levels=tuple(levels), seg=segs, dxyz=dxyzs)
+
+
+def pool_max(feats: jnp.ndarray, pyramid: Pyramid, level: int) -> jnp.ndarray:
+    """Voxel max-pool level -> level+1 (``graph_pool``,
+    tf_ops/graph_conv_layer.py:277-279)."""
+    cap = pyramid.levels[level + 1].xyz.shape[0]
+    return seg_ops.segment_max(feats, pyramid.seg[level], cap)
+
+
+def pool_avg(feats: jnp.ndarray, pyramid: Pyramid, level: int) -> jnp.ndarray:
+    """Voxel average-pool (``graph_avg_pool``,
+    tf_ops/graph_conv_layer.py:286-289)."""
+    cap = pyramid.levels[level + 1].xyz.shape[0]
+    mask = pyramid.levels[level].mask[:, None].astype(feats.dtype)
+    return seg_ops.segment_mean(feats * mask, pyramid.seg[level], cap)
+
+
+def unpool(feats: jnp.ndarray, pyramid: Pyramid, level: int) -> jnp.ndarray:
+    """Broadcast level+1 voxel features to level points (``graph_unpool``,
+    tf_ops/graph_conv_layer.py:292-294)."""
+    return seg_ops.segment_unpool(feats, pyramid.seg[level])

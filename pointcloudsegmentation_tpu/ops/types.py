@@ -1,0 +1,71 @@
+"""Core static-shape data structures for irregular point clouds.
+
+The reference framework represents a radius neighborhood as a CSR ragged
+quadruple ``nidxs/nlens/nbegs/ncens`` (reference: tf_ops/TFNeighborScatter.cc:12-18)
+with a *dynamic* edge count ``en``.  On TPU, dynamic shapes force recompilation
+and defeat XLA tiling, so every neighborhood here is a padded fixed-degree
+tensor.  The reference itself ships a fixed-K variant that pads by repeating
+(tf_ops/SearchNeighborhoodFixed.cu:40-51), proving the models tolerate it —
+we improve on it by keeping an explicit validity mask so means/maxes are
+mask-correct rather than biased by repeated neighbors.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+
+class Neighborhood(NamedTuple):
+    """Fixed-degree neighborhood of N points with up to K neighbors each.
+
+    idx:  [N, K] int32 — neighbor point indices; invalid slots point at the
+          center itself (safe to gather) and are masked out.
+    mask: [N, K] bool  — True where the slot holds a real neighbor.
+    """
+
+    idx: jnp.ndarray
+    mask: jnp.ndarray
+
+    @property
+    def k(self) -> int:
+        return self.idx.shape[-1]
+
+    def counts(self) -> jnp.ndarray:
+        """Per-point number of valid neighbors, float32 [N]."""
+        return jnp.sum(self.mask.astype(jnp.float32), axis=-1)
+
+
+class Level(NamedTuple):
+    """One level of the voxel pyramid: padded point set with validity mask."""
+
+    xyz: jnp.ndarray   # [V, 3] float32; zeros where invalid
+    mask: jnp.ndarray  # [V] bool
+
+
+class Pyramid(NamedTuple):
+    """Static-shape voxel pooling hierarchy.
+
+    TPU-native equivalent of the reference's in-graph
+    ``points_pooling_two_layers`` (tf_ops/graph_pooling_layer.py:110-146),
+    which physically sorts points by voxel key and re-permutes the fine level
+    after the coarse sort (ComputeRepermutationInfo).  Here points are never
+    reordered; each level carries a segment-id map into the next level, so
+    voxel pool/unpool are plain ``segment_*`` / gather ops.
+
+    levels: tuple of ``Level`` — levels[0] is the input point set.
+    seg:    tuple of int32 arrays; seg[i] has shape [V_i] and maps each point
+            of level i to its voxel in level i+1, with value V_{i+1}
+            (the overflow slot) for invalid/overflowed points.
+    dxyz:   tuple of [V_i, 3] arrays; xyz minus the containing voxel center
+            (the reference's ``dpts``, ComputeDiffXYZ.cc:21-33), zeros where
+            invalid.  Raw (un-normalized) — models divide by voxel size.
+    """
+
+    levels: Tuple[Level, ...]
+    seg: Tuple[jnp.ndarray, ...]
+    dxyz: Tuple[jnp.ndarray, ...]
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)

@@ -1,0 +1,132 @@
+"""Sort-based voxelization with static capacity.
+
+TPU-native replacement for the reference's PoolingOps voxel machinery:
+``ComputeVoxelIndex`` (floor((x - min)/voxel_len), ComputeVoxelIdx.cc:27-39),
+``ComputePermutationInfo`` (48-bit key pack + thrust sort_by_key +
+reduce_by_key, ComputePermutationInfo.cu:9-24,104-154), and
+``ComputeVoxelLabel`` (majority vote, ComputeVoxelLabel.cu:5-60).
+
+Instead of physically permuting points into voxel-contiguous order (which
+forces the two-level re-permutation dance, ComputeRepermutationInfo.cu:20-90),
+we compute a **segment id per point** via a stable argsort over packed voxel
+keys and keep points in their original order.  Capacity is static: at most
+``v_max`` distinct voxels are kept; points in voxels beyond the cap — and
+invalid (padding) points — map to the overflow slot ``v_max``, which every
+segment reduction drops.  Voxels are filled in spatial key order, so for any
+realistic cap the overflow slot stays empty (tests assert occupancy).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+class VoxelInfo(NamedTuple):
+    """Result of voxelizing a padded point set.
+
+    seg:     [N] int32 — voxel id per point in [0, v_max]; v_max = overflow.
+    centers: [v_max, 3] float32 — mean xyz per voxel (0 where empty).
+    counts:  [v_max] float32 — points per voxel.
+    mask:    [v_max] bool — voxel occupied.
+    """
+
+    seg: jnp.ndarray
+    centers: jnp.ndarray
+    counts: jnp.ndarray
+    mask: jnp.ndarray
+
+
+def voxel_coords(xyz: jnp.ndarray, voxel_size: float,
+                 block_size: float) -> Tuple[jnp.ndarray, int]:
+    """Integer voxel coordinates; grid min is -block_size/2 per axis,
+    matching the reference op's attrs (ComputeVoxelIdx.cc:27-39)."""
+    grid = int(-(-block_size // voxel_size)) + 1  # ceil + 1 slack cell
+    c = jnp.floor((xyz + 0.5 * block_size) / voxel_size).astype(jnp.int32)
+    return jnp.clip(c, 0, grid - 1), grid
+
+
+def pack_keys(coords: jnp.ndarray, grid: int,
+              labels: Optional[jnp.ndarray] = None,
+              num_classes: int = 0) -> jnp.ndarray:
+    """Pack [N,3] voxel coords (optionally + class label, the
+    ``ComputePermutationInfoWithClass`` variant,
+    ComputePermutationInfo.cc:166-252) into a sortable scalar key."""
+    key = (coords[:, 0].astype(jnp.int32) * grid
+           + coords[:, 1]) * grid + coords[:, 2]
+    if labels is not None:
+        key = key * (num_classes + 1) + labels.astype(jnp.int32)
+    return key
+
+
+def compute_segments(key: jnp.ndarray, mask: jnp.ndarray,
+                     v_max: int) -> jnp.ndarray:
+    """Map each point to a dense voxel slot via stable sort + unique-rank scan
+    (the XLA analog of ComputePermutationInfo.cu:104-154's thrust pipeline).
+
+    key:  [N] packed voxel keys.
+    mask: [N] bool point validity.
+    Returns seg [N] int32 in [0, v_max]; invalid/overflow -> v_max.
+    """
+    key = jnp.where(mask, key, _INT32_MAX)
+    order = jnp.argsort(key)  # stable
+    skey = key[order]
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    valid_sorted = mask[order]
+    rank = jnp.where(valid_sorted & (rank < v_max), rank, v_max)
+    seg = jnp.zeros_like(rank).at[order].set(rank)
+    return seg
+
+
+def voxelize(xyz: jnp.ndarray, mask: jnp.ndarray, voxel_size: float,
+             block_size: float, v_max: int) -> VoxelInfo:
+    """Full voxelization: coords -> keys -> segments -> centers.
+
+    Replaces the ComputeVoxelIndex -> ComputePermutationInfo ->
+    PermutateFeature -> center/diff chain of ``points_pooling``
+    (tf_ops/graph_pooling_layer.py:39-64) without any physical permutation.
+    """
+    from . import segments as seg_ops
+
+    coords, grid = voxel_coords(xyz, voxel_size, block_size)
+    key = pack_keys(coords, grid)
+    seg = compute_segments(key, mask, v_max)
+    counts = seg_ops.segment_count(seg, v_max)
+    centers = seg_ops.segment_sum(
+        xyz * mask[:, None].astype(xyz.dtype), seg, v_max)
+    centers = centers / jnp.maximum(counts[:, None], 1.0)
+    return VoxelInfo(seg=seg, centers=centers, counts=counts,
+                     mask=counts > 0)
+
+
+def diff_to_center(xyz: jnp.ndarray, centers: jnp.ndarray,
+                   seg: jnp.ndarray) -> jnp.ndarray:
+    """Per-point offset from its voxel center (``ComputeDiffXyz``,
+    ComputeDiffXYZ.cc:21-33).  Overflow/invalid points produce xyz - 0;
+    callers mask.  Gradient flows only into xyz, matching the reference's
+    explicitly-None gradient (tf_ops/graph_pooling_layer.py:16-18)."""
+    from . import segments as seg_ops
+
+    cen = seg_ops.segment_unpool(jnp.asarray(centers), seg)
+    return xyz - jax.lax.stop_gradient(cen)
+
+
+def voxel_majority_label(labels: jnp.ndarray, mask: jnp.ndarray,
+                         seg: jnp.ndarray, v_max: int,
+                         num_classes: int) -> jnp.ndarray:
+    """Per-voxel majority-vote label (``ComputeVoxelLabel``,
+    ComputeVoxelLabel.cu:5-60).  labels: [N] int -> [v_max] int32."""
+    from . import segments as seg_ops
+
+    onehot = jnp.where(
+        mask[:, None],
+        (labels[:, None] == jnp.arange(num_classes)[None, :]).astype(
+            jnp.float32),
+        0.0)
+    votes = seg_ops.segment_sum(onehot, seg, v_max)
+    return jnp.argmax(votes, axis=-1).astype(jnp.int32)
