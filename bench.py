@@ -1,0 +1,59 @@
+"""Benchmark harness: flagship S3DIS training throughput in points/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md); its instrumentation logs
+blocks/s on 4 GPUs (train_gpn_scannet_new.py:173-178).  vs_baseline is
+computed against a documented estimate of the TF-CUDA reference on one V100:
+~10 blocks/s × ~8k points/block = 8e4 points/s/GPU (see BASELINE.md).
+"""
+import json
+import time
+
+import jax
+import numpy as np
+
+from pointcloudsegmentation_tpu.data import toy
+from pointcloudsegmentation_tpu.train import Trainer, s3dis_config
+
+BASELINE_POINTS_PER_SEC = 8.0e4  # estimated TF-CUDA reference, 1x V100
+
+NUM_POINTS = 8192
+BATCH = 4
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    cfg = s3dis_config(data_num_points=NUM_POINTS,
+                       data_caps=(4096, 1024),
+                       data_feat_dim=12)
+    trainer = Trainer(cfg, search_chunk=2048)
+    rng = jax.random.PRNGKey(0)
+    batches = list(toy.toy_batches(2, batch_size=BATCH,
+                                   num_points=NUM_POINTS, kind="room",
+                                   num_classes=13, feat_dim=12))
+    state = trainer.init_state(rng, batches[0])
+
+    for i in range(WARMUP):
+        state, m = trainer.train_step(state, batches[i % 2], rng)
+    jax.block_until_ready(m["loss"])
+
+    valid_points = int(batches[0]["mask"].sum())
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, m = trainer.train_step(state, batches[i % 2], rng)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    pps = valid_points * ITERS / dt
+    print(json.dumps({
+        "metric": "s3dis_train_points_per_sec_per_chip",
+        "value": round(pps, 1),
+        "unit": "points/s",
+        "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""Semantic3D dataset pipeline (reference: data_util.py:50-613,
+semantic3d_util.py:10-600, semantic3d_context_util.py).
+
+The heaviest offline pipeline of the reference: raw ``.txt`` scans
+(x y z intensity r g b + ``.labels``) -> big-block partition (80 m blocks at
+0.03 m downsample) -> 10 m training blocks with rotation augmentation ->
+per-block pkls.  8 classes + class 0 = unlabeled (ignored in training,
+excluded from submissions).
+
+The context branch (50 m context clouds at 5 m average downsample with
+per-point context indices, semantic3d_context_util.py:110-333) is provided
+as ``context_cloud`` / ``context_indices``.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from . import augment
+
+NUM_CLASSES = 8  # man-made terrain .. cars (class 0 = unlabeled, ignored)
+
+
+def read_points_txt(path: str, labels_path: Optional[str] = None,
+                    chunk: int = 2_000_000
+                    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Stream a Semantic3D .txt scan (x y z i r g b per line) into arrays
+    (read_semantic3d_points_file, data_util.py:50-80)."""
+    pts = []
+    with open(path) as f:
+        rows = np.loadtxt(f, dtype=np.float32, ndmin=2)
+    pts = rows  # columns: x y z intensity r g b
+    labels = None
+    if labels_path and os.path.exists(labels_path):
+        labels = np.loadtxt(labels_path, dtype=np.int32)
+    return pts, labels
+
+
+def to_big_blocks(points: np.ndarray, labels: Optional[np.ndarray],
+                  block_size: float = 80.0, ds_stride: float = 0.03
+                  ) -> List[Dict]:
+    """Partition a scan into macro blocks with grid downsample
+    (semantic3d_to_block, semantic3d_util.py:136-178)."""
+    xyz = points[:, :3]
+    mins = xyz.min(0)
+    bx = np.floor((xyz[:, 0] - mins[0]) / block_size).astype(np.int64)
+    by = np.floor((xyz[:, 1] - mins[1]) / block_size).astype(np.int64)
+    key = bx * 10000 + by
+    out = []
+    for k in np.unique(key):
+        sel = np.nonzero(key == k)[0]
+        sub = points[sel]
+        keep = augment.grid_downsample(sub[:, :3], ds_stride)
+        blk = {"points": sub[keep]}
+        if labels is not None:
+            blk["labels"] = labels[sel][keep]
+        out.append(blk)
+    return out
+
+
+def sample_training_blocks(points: np.ndarray, labels: np.ndarray,
+                           block_size: float = 10.0, stride: float = 5.0,
+                           ds_stride: float = 0.06, min_pn: int = 1024,
+                           rng: Optional[np.random.RandomState] = None,
+                           rotate: bool = True,
+                           covar_nn_size: float = 0.3) -> List[Dict]:
+    """10 m training blocks with optional rotation augmentation
+    (semantic3d_sample_single_file_training_block,
+    semantic3d_util.py:279-295).  Features: rgb + intensity + covars."""
+    rng = rng or np.random.RandomState()
+    xyz = np.ascontiguousarray(points[:, :3], np.float32)
+    intensity = points[:, 3:4].astype(np.float32)
+    rgb = points[:, 4:7].astype(np.float32)
+
+    if rotate and rng.rand() > 0.3:
+        xyz = augment.rotate_z(xyz, rng.rand() * np.pi / 2.0)
+
+    ds_idx = augment.grid_downsample(xyz, ds_stride)
+    covars = augment.compute_covars(xyz, covar_nn_size, ds_idx)
+    xyz_s, rgb_s = xyz[ds_idx], rgb[ds_idx]
+    int_s, lbl_s = intensity[ds_idx], labels[ds_idx]
+
+    rel = xyz_s - xyz_s.min(0, keepdims=True)
+    crops = augment.uniform_sample_block(rel, block_size, stride,
+                                         min_pn=min_pn)
+    blocks = []
+    for c in crops:
+        x = xyz_s[c]
+        mn = x.min(0, keepdims=True).copy()
+        mn[:, :2] += block_size / 2.0
+        # intensity standardized, rgb to [-1,1]
+        # (normalize_block_hierarchy, aug_util.py:425-450)
+        it = int_s[c]
+        it = (it - it.mean()) / (it.std() + 1e-6)
+        feats = np.concatenate(
+            [rgb_s[c] / 127.5 - 1.0, it, covars[c]], 1).astype(np.float32)
+        blocks.append({"xyz": (x - mn).astype(np.float32), "feats": feats,
+                       "labels": lbl_s[c].astype(np.int32),
+                       "block_min": mn[0].astype(np.float32)})
+    return blocks
+
+
+def context_cloud(points: np.ndarray, ds_size: float = 5.0) -> np.ndarray:
+    """Global average-downsampled context cloud (global_avg_downsample,
+    semantic3d_context_util.py:110-153): mean xyz+feats per 5 m voxel."""
+    xyz = points[:, :3]
+    mins = xyz.min(0, keepdims=True)
+    coords = np.floor((xyz - mins) / ds_size).astype(np.int64)
+    dims = coords.max(0) + 1
+    key = (coords[:, 0] * dims[1] + coords[:, 1]) * dims[2] + coords[:, 2]
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    boundaries = np.concatenate([[0], np.nonzero(np.diff(skey))[0] + 1,
+                                 [len(skey)]])
+    out = np.empty((len(boundaries) - 1, points.shape[1]), np.float32)
+    for vi in range(len(boundaries) - 1):
+        seg = order[boundaries[vi]:boundaries[vi + 1]]
+        out[vi] = points[seg].mean(0)
+    return out
+
+
+def context_indices(block_xyz: np.ndarray, ctx_xyz: np.ndarray
+                    ) -> np.ndarray:
+    """Nearest context point per block point (compute_context_idxs,
+    semantic3d_context_util.py:322-333)."""
+    from . import native
+
+    if native.available():
+        idx, _ = native.knn(ctx_xyz, block_xyz, 1, cell_hint=5.0)
+        return idx[:, 0].astype(np.int32)
+    d2 = ((block_xyz[:, None, :] - ctx_xyz[None, :, :]) ** 2).sum(-1)
+    return d2.argmin(1).astype(np.int32)
+
+
+def save_blocks(path: str, blocks: List[Dict]) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(blocks, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def blocks_from_pkl(model: str, filename: str,
+                    rng: Optional[np.random.RandomState] = None
+                    ) -> List[Dict]:
+    rng = rng or np.random.RandomState()
+    with open(filename, "rb") as f:
+        blocks = pickle.load(f)
+    out = []
+    for b in blocks:
+        xyz, feats = b["xyz"], b["feats"]
+        if model == "train":
+            if rng.rand() < 0.5:
+                xyz = augment.flip(xyz, 0)
+            if rng.rand() < 0.5:
+                xyz = augment.flip(xyz, 1)
+            feats = feats.copy()
+            feats[:, :3] += rng.uniform(-0.02, 0.02, (len(feats), 3))
+        out.append({"xyz": xyz.astype(np.float32),
+                    "feats": feats.astype(np.float32),
+                    "labels": b["labels"].astype(np.int32)})
+    return out

@@ -1,0 +1,88 @@
+"""Full-scene inference: block-sweep forward passes + Gaussian k-NN
+probability interpolation back to full resolution + IoU / Semantic3D
+``.labels`` submission writer.
+
+Rebuilds the reference eval scripts (interpolate.py:121-190,
+interpolate_semantic3d_new.py:46-128): restore params, run per-block softmax
+probs, concatenate sampled points offset by their block mins, interpolate to
+the dense cloud, argmax (excluding class 0 for Semantic3D submissions).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import interpolate as interp_ops
+from ..train.metrics import iou_from_confusion
+
+# Reference Gaussian ratios: S3DIS 6-NN 1/(2·0.075²) (interpolate.py:140),
+# Semantic3D 8-NN 1/(2·0.125²) (interpolate_semantic3d_new.py:88).
+S3DIS_RATIO = 1.0 / (2 * 0.075 * 0.075)
+SEMANTIC3D_RATIO = 1.0 / (2 * 0.125 * 0.125)
+
+
+def eval_scene_probs(apply_fn: Callable, params, blocks: Iterable[Dict],
+                     rng: Optional[jax.Array] = None
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-block forward -> accumulated (xyz_global, probs) of all sampled
+    points (eval_room_probs, interpolate.py:121-132).
+
+    blocks: dicts with xyz [N,3], feats, mask [N], block_min [3].
+    apply_fn(params, xyz, feats, mask) -> logits [N, C].
+    """
+    all_xyz, all_probs = [], []
+    for b in blocks:
+        logits = apply_fn(params, b["xyz"], b["feats"], b["mask"])
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        m = np.asarray(b["mask"])
+        xyz = np.asarray(b["xyz"])[m] + np.asarray(
+            b.get("block_min", np.zeros(3, np.float32)))[None, :]
+        all_xyz.append(xyz)
+        all_probs.append(probs[m])
+    return (np.concatenate(all_xyz, 0).astype(np.float32),
+            np.concatenate(all_probs, 0).astype(np.float32))
+
+
+def interpolate_to_dense(sxyz: np.ndarray, sprobs: np.ndarray,
+                         qxyz: np.ndarray, k: int = 6,
+                         ratio: float = S3DIS_RATIO,
+                         chunk: int = 200_000,
+                         prefer_native: bool = True) -> np.ndarray:
+    """Gaussian k-NN interpolation of probs onto the dense cloud, chunked
+    over queries (the reference loops 1M-point chunks,
+    interpolate.py:156-168).  Uses the native host library when available
+    (millions of queries), else the device kernel."""
+    from ..data import native
+
+    if prefer_native and native.available():
+        return native.interpolate_probs(sxyz, sprobs, qxyz, k, ratio,
+                                        cell_hint=0.3)
+    outs = []
+    smask = jnp.ones(len(sxyz), bool)
+    for beg in range(0, len(qxyz), chunk):
+        q = jnp.asarray(qxyz[beg:beg + chunk])
+        outs.append(np.asarray(interp_ops.interpolate_probs(
+            jnp.asarray(sxyz), smask, jnp.asarray(sprobs), q,
+            jnp.ones(len(q), bool), k=k, ratio=ratio)))
+    return np.concatenate(outs, 0)
+
+
+def scene_iou(labels: np.ndarray, preds: np.ndarray,
+              num_classes: int) -> Dict:
+    cm = np.zeros((num_classes, num_classes), np.float64)
+    np.add.at(cm, (labels.astype(np.int64), preds.astype(np.int64)), 1.0)
+    return iou_from_confusion(cm)
+
+
+def save_semantic3d_labels(path: str, probs: np.ndarray) -> np.ndarray:
+    """Write a Semantic3D server submission: argmax over classes 1..C
+    (class 0 = unlabeled is excluded), one 1-based label per line
+    (save_results, interpolate_semantic3d_new.py:92-111)."""
+    preds = np.argmax(probs[:, 1:], axis=1) + 1
+    with open(path, "w") as f:
+        f.write("\n".join(str(int(p)) for p in preds))
+        f.write("\n")
+    return preds

@@ -223,6 +223,9 @@ class GPNConv(nn.Module):
     use_bias: bool = True
     activation: Optional[Callable] = nn.relu
     pmiu_trainable: bool = False
+    # no_sum=True returns the per-anchor features flattened to [N, m*ofn]
+    # instead of summing over anchors (graph_conv_layer.py:97-100)
+    no_sum: bool = False
 
     @nn.compact
     def __call__(self, sxyz: jnp.ndarray, feats: Optional[jnp.ndarray],
@@ -254,10 +257,15 @@ class GPNConv(nn.Module):
             lw_sum = jnp.sum(lw, axis=1)                       # [N,m]
 
         num = jnp.einsum("nkm,nkmo->nmo", lw, tfeats)          # [N,m,ofn]
-        out = jnp.sum(num / (lw_sum[..., None] + 1e-6), axis=1)
+        out = num / (lw_sum[..., None] + 1e-6)
+        if self.no_sum:
+            out = out.reshape(out.shape[0], self.m * self.out_dim)
+            bdim = self.m * self.out_dim
+        else:
+            out = jnp.sum(out, axis=1)
+            bdim = self.out_dim
         if self.use_bias:
-            out = out + self.param(
-                "bias", nn.initializers.zeros, (self.out_dim,))
+            out = out + self.param("bias", nn.initializers.zeros, (bdim,))
         if self.activation is not None:
             out = self.activation(out)
         return out, lw, lw_sum

@@ -1,0 +1,151 @@
+"""Training CLI — the single driver replacing the reference's per-experiment
+``train_*.py`` scripts (SURVEY.md §2.7).
+
+Examples:
+  python -m pointcloudsegmentation_tpu.train.cli --config s3dis \
+      --data-dir data/S3DIS/sampled_train --epochs 100
+  python -m pointcloudsegmentation_tpu.train.cli --config s3dis --synthetic \
+      --epochs 2 --steps-per-epoch 50        # no dataset required
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..data import s3dis, toy
+from ..data.provider import Provider
+from ..parallel import make_mesh
+from ..utils.logging import get_logger
+from . import config as config_lib
+from .checkpoint import CheckpointManager
+from .loop import Trainer
+
+CONFIGS = {
+    "s3dis": config_lib.s3dis_config,
+    "scannet": config_lib.scannet_config,
+    "semantic3d": config_lib.semantic3d_config,
+    "modelnet40": config_lib.modelnet40_config,
+}
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", choices=sorted(CONFIGS), default="s3dis")
+    p.add_argument("--model", type=str, default=None,
+                   help="override model registry key (e.g. ecd_s3dis)")
+    p.add_argument("--data-dir", type=str, default=None)
+    p.add_argument("--test-data-dir", type=str, default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthetic blocks (smoke/bench)")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="global batch (blocks); default = #devices")
+    p.add_argument("--num-points", type=int, default=None)
+    p.add_argument("--lr-init", type=float, default=None)
+    p.add_argument("--checkpoint-dir", type=str, default=None)
+    p.add_argument("--restore", action="store_true")
+    p.add_argument("--restore-epoch", type=int, default=None)
+    p.add_argument("--log-file", type=str, default=None)
+    p.add_argument("--eval", action="store_true",
+                   help="evaluate only (restore + test epoch)")
+    p.add_argument("--no-mesh", action="store_true",
+                   help="single-device mode (skip mesh sharding)")
+    return p.parse_args(argv)
+
+
+def build_cfg(args) -> config_lib.TrainConfig:
+    over = {}
+    if args.model:
+        over["model"] = args.model
+    if args.epochs:
+        over["num_epochs"] = args.epochs
+    if args.num_points:
+        over["data_num_points"] = args.num_points
+    if args.lr_init:
+        over["optim_lr_init"] = args.lr_init
+    if args.steps_per_epoch:
+        over["optim_epoch_steps"] = args.steps_per_epoch
+    if args.checkpoint_dir:
+        over["checkpoint_dir"] = args.checkpoint_dir
+    return CONFIGS[args.config](**over)
+
+
+def make_batches(cfg, args, split: str, batch_size: int):
+    d = cfg.data
+    if args.synthetic or not args.data_dir:
+        steps = args.steps_per_epoch or 50
+        return lambda: toy.toy_batches(
+            steps, batch_size, num_points=d.num_points, kind="room",
+            num_classes=d.num_classes, feat_dim=max(d.feat_dim, 1),
+            seed=0 if split == "train" else 1)
+    data_dir = args.data_dir if split == "train" else (
+        args.test_data_dir or args.data_dir)
+    files = sorted(glob.glob(os.path.join(data_dir, "*.pkl")))
+    if not files:
+        raise FileNotFoundError(f"no .pkl files in {data_dir}")
+    read_fn = partial(s3dis.blocks_from_room_pkl,
+                      use_covars=d.feat_dim > 3)
+    return lambda: Provider(files, split, batch_size, read_fn,
+                            d.num_points)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = build_cfg(args)
+    log = get_logger("pcs_tpu.cli", args.log_file)
+
+    mesh = None if args.no_mesh else make_mesh()
+    n_dev = 1 if mesh is None else mesh.size
+    batch_size = args.batch_size or max(
+        n_dev * cfg.batch_per_device, 1)
+    batch_size = (batch_size // n_dev) * n_dev or n_dev
+    log.info("config=%s model=%s devices=%d batch=%d points=%d", args.config,
+             cfg.model, n_dev, batch_size, cfg.data.num_points)
+
+    trainer = Trainer(cfg, mesh=mesh)
+    rng = jax.random.PRNGKey(cfg.seed)
+    train_batches = make_batches(cfg, args, "train", batch_size)
+    test_batches = make_batches(cfg, args, "test", batch_size)
+
+    state = trainer.init_state(rng, next(iter(train_batches())))
+    ckpt: Optional[CheckpointManager] = None
+    start_epoch = 0
+    if cfg.checkpoint_dir:
+        ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.keep_checkpoints)
+        if args.restore:
+            state = ckpt.restore(state, args.restore_epoch)
+            start_epoch = (ckpt.latest_epoch() or 0) + 1
+            log.info("restored epoch %d", start_epoch - 1)
+
+    if args.eval:
+        state, res = trainer.run_epoch(state, test_batches(), rng,
+                                       train=False)
+        log.info("eval mIoU %.4f oIoU %.4f oAcc %.4f loss %.4f",
+                 res["miou"], res["oiou"], res["oacc"], res.get("loss", 0))
+        for i, iou in enumerate(res["iou"]):
+            log.info("  class %d iou %.4f acc %.4f", i, iou, res["acc"][i])
+        return res
+
+    for epoch in range(start_epoch, cfg.num_epochs):
+        state, tr = trainer.run_epoch(state, train_batches(), rng,
+                                      train=True)
+        state, te = trainer.run_epoch(state, test_batches(), rng,
+                                      train=False)
+        log.info("epoch %d train-loss %.4f | test mIoU %.4f oIoU %.4f "
+                 "oAcc %.4f | %.0f points/s",
+                 epoch, tr.get("loss", 0), te["miou"], te["oiou"],
+                 te["oacc"], tr["points_per_sec"])
+        if ckpt is not None:
+            ckpt.save(epoch, state)
+    return state
+
+
+if __name__ == "__main__":
+    main()

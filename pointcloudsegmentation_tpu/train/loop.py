@@ -1,0 +1,196 @@
+"""Generic training loop: Adam + staircase exp LR decay, class-weighted CE
+with ignore-label masking, jitted data-parallel train step, streaming IoU,
+per-epoch checkpointing.
+
+Replaces the shared skeleton of every reference train_*.py
+(train_graph_pool_new.py:76-132 train_ops, :135-180 train_one_epoch) and its
+multi-GPU tower replication + CPU ``average_gradients`` (train_util.py:77-111)
+with one compiled step whose gradient all-reduce XLA lays onto ICI.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..parallel import mesh as mesh_lib
+from ..utils.logging import get_logger
+from . import metrics as metrics_lib
+from .config import TrainConfig
+from .model_zoo import build_model
+
+log = get_logger(__name__)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
+    """Staircase exponential decay with a floor
+    (train_graph_pool_new.py:83-85: exponential_decay + maximum(lr_clip))."""
+    o = cfg.optim
+    return optax.exponential_decay(
+        init_value=o.lr_init,
+        transition_steps=o.decay_epoch * o.epoch_steps,
+        decay_rate=o.decay_rate,
+        staircase=True,
+        end_value=o.lr_clip)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(make_lr_schedule(cfg))
+
+
+def seg_loss(logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
+             class_weights: Optional[jnp.ndarray],
+             ignore_label: Optional[int]) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                   jnp.ndarray]:
+    """Weighted sparse softmax CE over valid (+ non-ignored) points.
+
+    Matches tf.losses.sparse_softmax_cross_entropy with per-point weights
+    (sum(w·ce)/sum(w), train_graph_pool_new.py:66-68) and ScanNet's
+    ignore-label-0 masking with labels shifted by -1
+    (train_gpn_scannet_new.py:81-88).
+
+    Returns (loss, effective labels, effective mask).
+    """
+    valid = mask
+    if ignore_label is not None:
+        valid = valid & (labels != ignore_label)
+        if ignore_label == 0:
+            labels = jnp.maximum(labels - 1, 0)
+    labels = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    ce = -jnp.take_along_axis(jax.nn.log_softmax(logits, axis=-1),
+                              labels[..., None], axis=-1)[..., 0]
+    w = jnp.ones_like(ce) if class_weights is None \
+        else jnp.take(class_weights, labels)
+    w = w * valid.astype(ce.dtype)
+    loss = jnp.sum(w * ce) / jnp.maximum(jnp.sum(w), 1e-6)
+    return loss, labels, valid
+
+
+@dataclass
+class Trainer:
+    """Owns model/optimizer/state and the compiled train/eval steps."""
+
+    cfg: TrainConfig
+    mesh: Optional[Any] = None
+    search_chunk: int = 1024
+
+    def __post_init__(self):
+        self.model = build_model(self.cfg, search_chunk=self.search_chunk)
+        self.tx = make_optimizer(self.cfg)
+        d = self.cfg.data
+        self.class_weights = (
+            None if d.class_weights is None
+            else jnp.asarray(d.class_weights, jnp.float32))
+        self._train_step = jax.jit(self._step, static_argnames=("train",),
+                                   donate_argnums=(0,))
+        self._eval_step = jax.jit(partial(self._step, train=False))
+
+    # -- init ------------------------------------------------------------
+    def init_state(self, rng: jax.Array, example_batch: Dict) -> TrainState:
+        xyz = example_batch["xyz"][0]
+        feats = example_batch["feats"][0]
+        mask = example_batch["mask"][0]
+        params = self.model.init(rng, xyz, feats, mask, False)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=self.tx.init(params))
+        if self.mesh is not None:
+            state = mesh_lib.replicate(state, self.mesh)
+        return state
+
+    # -- steps -----------------------------------------------------------
+    def _batched_logits(self, params, batch, rngs, train: bool):
+        def one(xyz, feats, mask, rng):
+            return self.model.apply(params, xyz, feats, mask, train,
+                                    rngs={"dropout": rng})
+        return jax.vmap(one)(batch["xyz"], batch["feats"], batch["mask"],
+                             rngs)
+
+    def _step(self, state: TrainState, batch: Dict, rng: jax.Array,
+              train: bool = True):
+        d = self.cfg.data
+        bsz = batch["xyz"].shape[0]
+        rngs = jax.random.split(jax.random.fold_in(rng, state.step), bsz)
+
+        def loss_fn(params):
+            logits = self._batched_logits(params, batch, rngs, train)
+            if logits.ndim == 2:
+                # classification: one logit row + one label per cloud
+                # (train_modelnet40.py: single logits per tower)
+                labels = batch["labels"][:, 0]
+                mask = jnp.any(batch["mask"], axis=1)
+            else:
+                labels, mask = batch["labels"], batch["mask"]
+            loss, labels_eff, valid = seg_loss(
+                logits, labels, mask, self.class_weights, d.ignore_label)
+            return loss, (logits, labels_eff, valid)
+
+        if train:
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        else:
+            loss, aux = loss_fn(state.params)
+
+        logits, labels_eff, valid = aux
+        preds = jnp.argmax(logits, axis=-1)
+        cm = metrics_lib.confusion_matrix(labels_eff, preds, d.num_classes,
+                                          mask=valid)
+        metrics = {
+            "loss": loss,
+            "correct": jnp.sum((preds == labels_eff) & valid),
+            "count": jnp.sum(valid),
+            "cm": cm,
+        }
+        return state, metrics
+
+    def train_step(self, state, batch, rng):
+        if self.mesh is not None:
+            batch = mesh_lib.shard_batch(batch, self.mesh)
+        return self._train_step(state, batch, rng)
+
+    def eval_step(self, state, batch, rng):
+        if self.mesh is not None:
+            batch = mesh_lib.shard_batch(batch, self.mesh)
+        return self._eval_step(state, batch, rng)
+
+    # -- epochs ----------------------------------------------------------
+    def run_epoch(self, state: TrainState, batches: Iterable[Dict],
+                  rng: jax.Array, train: bool = True,
+                  log_every: Optional[int] = None) -> Tuple[TrainState, Dict]:
+        acc = metrics_lib.MetricAccumulator(self.cfg.data.num_classes)
+        t0 = time.time()
+        points = 0
+        blocks = 0
+        log_every = log_every or self.cfg.log_every
+        for i, batch in enumerate(batches):
+            step_fn = self.train_step if train else self.eval_step
+            state, m = step_fn(state, batch, rng)
+            acc.update(m["cm"], m["loss"])
+            points += int(batch["mask"].sum())
+            blocks += batch["xyz"].shape[0]
+            if train and i % log_every == 0:
+                dt = time.time() - t0
+                log.info("step %d loss %.5f | %.1f blocks/s %.0f points/s",
+                         i, float(m["loss"]), blocks / dt, points / dt)
+        res = acc.result()
+        res["points_per_sec"] = points / max(time.time() - t0, 1e-9)
+        res["blocks_per_sec"] = blocks / max(time.time() - t0, 1e-9)
+        return state, res

@@ -2,11 +2,19 @@
 multi-chip sharding is exercised without TPU hardware."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient sitecustomize registers the axon TPU backend and
+# sets jax_platforms="axon,cpu" PROGRAMMATICALLY (env vars are overridden),
+# so we must update the jax config after import, before any backend use.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8, jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,121 @@
+"""Data pipeline tests: grid downsample oracle, block cropping, provider
+threading/batching, native library parity with numpy fallbacks."""
+import numpy as np
+import pytest
+
+from pointcloudsegmentation_tpu.data import augment, native
+from pointcloudsegmentation_tpu.data.batching import pad_block, stack_blocks
+from pointcloudsegmentation_tpu.data.provider import Provider
+
+
+def test_grid_downsample_one_per_voxel(rng):
+    xyz = rng.uniform(0, 1.0, (500, 3)).astype(np.float32)
+    idx = augment.grid_downsample(xyz, 0.25)
+    kept = xyz[idx]
+    coords = np.floor((kept - xyz.min(0)) / 0.25).astype(int)
+    keys = [tuple(c) for c in coords]
+    assert len(keys) == len(set(keys)), "two representatives in one voxel"
+    # every occupied voxel is represented
+    all_coords = np.floor((xyz - xyz.min(0)) / 0.25).astype(int)
+    assert len(set(map(tuple, all_coords))) == len(idx)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_matches_numpy_downsample(rng):
+    xyz = rng.uniform(-2, 2, (2000, 3)).astype(np.float32)
+    n_idx = native.grid_downsample(xyz, 0.3)
+    # same voxel count as the numpy fallback
+    mins = xyz.min(0, keepdims=True)
+    coords = np.floor((xyz - mins) / 0.3).astype(np.int64)
+    n_vox = len(set(map(tuple, coords)))
+    assert len(n_idx) == n_vox
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_radius_neighbors_oracle(rng):
+    xyz = rng.uniform(-1, 1, (400, 3)).astype(np.float32)
+    idx, cnt = native.radius_neighbors(xyz, xyz[:50], 0.3, 8)
+    for i in range(50):
+        d2 = ((xyz - xyz[i]) ** 2).sum(1)
+        in_r = np.sort(np.where(d2 <= 0.09)[0])
+        want = min(len(in_r), 8)
+        assert cnt[i] == want
+        got = idx[i, :cnt[i]]
+        want_set = set(np.argsort(d2, kind="stable")[:want][d2[np.argsort(
+            d2, kind="stable")[:want]] <= 0.09])
+        assert set(got) == want_set
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_knn_oracle(rng):
+    s = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    q = rng.uniform(-1, 1, (40, 3)).astype(np.float32)
+    idx, d2 = native.knn(s, q, 4, cell_hint=0.3)
+    for i in range(40):
+        dd = ((s - q[i]) ** 2).sum(1)
+        np.testing.assert_allclose(np.sort(d2[i]), np.sort(dd)[:4],
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_uniform_sample_block(rng):
+    xyz = rng.uniform(0, 6.0, (5000, 3)).astype(np.float32)
+    crops = augment.uniform_sample_block(xyz, block_size=3.0, stride=1.5,
+                                         min_pn=100)
+    assert len(crops) >= 4
+    for c in crops:
+        pts = xyz[c]
+        assert np.ptp(pts[:, 0]) <= 3.0 + 1e-5
+        assert np.ptp(pts[:, 1]) <= 3.0 + 1e-5
+
+
+def test_sample_block_end_to_end(rng):
+    pts = np.concatenate([rng.uniform(0, 6, (8000, 3)),
+                          rng.randint(0, 255, (8000, 3))], 1).astype(
+        np.float32)
+    labels = rng.randint(0, 13, 8000).astype(np.int32)
+    xyzs, rgbs, covars, lbls = augment.sample_block(
+        pts, labels, ds_stride=0.1, block_size=3.0, block_stride=1.5,
+        min_pn=50, rng=rng, use_flip=True, use_rescale=True)
+    assert len(xyzs) == len(rgbs) == len(covars) == len(lbls) > 0
+    for x, c in zip(xyzs, covars):
+        assert c.shape == (len(x), 9)
+        assert np.isfinite(c).all()
+
+
+def test_pad_and_stack(rng):
+    b1 = pad_block(rng.randn(100, 3).astype(np.float32),
+                   rng.randn(100, 4).astype(np.float32),
+                   rng.randint(0, 5, 100), 128)
+    assert b1["mask"].sum() == 100
+    b2 = pad_block(rng.randn(300, 3).astype(np.float32),
+                   rng.randn(300, 4).astype(np.float32),
+                   rng.randint(0, 5, 300), 128, rng)
+    assert b2["mask"].sum() == 128  # subsampled
+    batch = stack_blocks([b1, b2], batch_size=4, rng=rng)
+    assert batch["xyz"].shape == (4, 128, 3)
+
+
+def test_provider_threading(rng):
+    def read_fn(model, filename):
+        r = np.random.RandomState(hash(filename) % 2**31)
+        return [{"xyz": r.randn(50, 3).astype(np.float32),
+                 "feats": r.randn(50, 2).astype(np.float32),
+                 "labels": r.randint(0, 3, 50).astype(np.int32)}
+                for _ in range(3)]
+
+    p = Provider([f"f{i}" for i in range(4)], "train", batch_size=2,
+                 read_fn=read_fn, num_points=64)
+    batches = list(p)
+    assert len(batches) == 6  # 12 blocks / batch 2
+    for b in batches:
+        assert b["xyz"].shape == (2, 64, 3)
+        assert b["mask"].sum(axis=1).min() == 50
+
+
+def test_train_time_augment_preserves_shape(rng):
+    xyz = rng.randn(100, 3).astype(np.float32)
+    rgb = rng.rand(100, 3).astype(np.float32)
+    x2, r2 = augment.train_time_augment(xyz, rgb, rng)
+    assert x2.shape == xyz.shape and r2.shape == rgb.shape
+    # z axis never flipped
+    np.testing.assert_allclose(x2[:, 2], xyz[:, 2])

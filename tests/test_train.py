@@ -1,0 +1,96 @@
+"""End-to-end training smoke tests: loss decreases on synthetic data, LR
+schedule matches the reference's staircase decay, metrics are sane, and the
+data-parallel step runs on an 8-device CPU mesh."""
+import jax
+import numpy as np
+import pytest
+
+from pointcloudsegmentation_tpu.data import toy
+from pointcloudsegmentation_tpu.parallel import make_mesh
+from pointcloudsegmentation_tpu.train import (Trainer, make_lr_schedule,
+                                              s3dis_config)
+
+
+def tiny_cfg(**kw):
+    return s3dis_config(
+        data_num_points=512, data_caps=(256, 64),
+        optim_epoch_steps=10, **kw)
+
+
+def test_lr_schedule_staircase():
+    cfg = tiny_cfg()
+    sched = make_lr_schedule(cfg)
+    steps = cfg.optim.decay_epoch * cfg.optim.epoch_steps
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(steps - 1)) == pytest.approx(1e-3)   # staircase holds
+    assert float(sched(steps)) == pytest.approx(5e-4)
+    assert float(sched(steps * 100)) == pytest.approx(1e-5)  # floor (lr_clip)
+
+
+def test_loss_decreases_on_toy_data():
+    cfg = tiny_cfg()
+    trainer = Trainer(cfg, search_chunk=256)
+    rng = jax.random.PRNGKey(0)
+    batches = list(toy.toy_batches(8, batch_size=2, num_points=512,
+                                   kind="room", num_classes=13, feat_dim=12))
+    state = trainer.init_state(rng, batches[0])
+    losses = []
+    for epoch in range(6):
+        for b in batches:
+            state, m = trainer.train_step(state, b, rng)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_eval_metrics_shape():
+    cfg = tiny_cfg()
+    trainer = Trainer(cfg, search_chunk=256)
+    rng = jax.random.PRNGKey(0)
+    batches = list(toy.toy_batches(2, batch_size=2, num_points=512,
+                                   kind="room"))
+    state = trainer.init_state(rng, batches[0])
+    state, res = trainer.run_epoch(state, batches, rng, train=False)
+    assert res["iou"].shape == (13,)
+    assert 0.0 <= res["miou"] <= 1.0
+    assert res["points_per_sec"] > 0
+
+
+def test_data_parallel_mesh_step():
+    """The same trainer on an 8-device mesh: batch sharded over 'data',
+    params replicated, gradients all-reduced inside the compiled step."""
+    mesh = make_mesh()
+    assert mesh.size == 8
+    cfg = tiny_cfg()
+    trainer = Trainer(cfg, mesh=mesh, search_chunk=256)
+    rng = jax.random.PRNGKey(0)
+    batches = list(toy.toy_batches(2, batch_size=8, num_points=512,
+                                   kind="room"))
+    state = trainer.init_state(rng, batches[0])
+    state, m = trainer.train_step(state, batches[0], rng)
+    assert np.isfinite(float(m["loss"]))
+    # params stay replicated across all 8 devices
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+    # single-device reference step produces the same loss (same math)
+    trainer1 = Trainer(cfg, mesh=None, search_chunk=256)
+    state1 = trainer1.init_state(rng, batches[0])
+    _, m1 = trainer1.train_step(state1, batches[0], rng)
+    np.testing.assert_allclose(float(m["loss"]), float(m1["loss"]),
+                               rtol=1e-4)
+
+
+def test_scannet_ignore_label():
+    from pointcloudsegmentation_tpu.train import scannet_config
+    cfg = scannet_config(data_num_points=512, data_caps=(256, 64),
+                         optim_epoch_steps=10)
+    trainer = Trainer(cfg, search_chunk=256)
+    rng = jax.random.PRNGKey(0)
+    batches = list(toy.toy_batches(1, batch_size=1, num_points=512,
+                                   kind="room", num_classes=21, feat_dim=0))
+    state = trainer.init_state(rng, batches[0])
+    state, m = trainer.train_step(state, batches[0], rng)
+    assert np.isfinite(float(m["loss"]))
+    # ignored points (label 0) are excluded from the count
+    n_ignored = int((batches[0]["labels"] == 0).sum())
+    assert int(m["count"]) == int(batches[0]["mask"].sum()) - n_ignored
