@@ -11,6 +11,9 @@ import json
 import time
 
 import jax
+
+from pointcloudsegmentation_tpu.utils import cache as _cache
+_cache.enable()
 import numpy as np
 
 from pointcloudsegmentation_tpu.data import toy

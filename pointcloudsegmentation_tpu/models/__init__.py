@@ -9,3 +9,7 @@ from .ecd import (ECDSegModel, ECDStage, ECDStageSpec, MLPAnchorConv,  # noqa: F
                   SCANNET_ECD_SPEC)
 from .gpn import (ClassifierHead, GPNClassModel, GPNSegModel, GPNStage,  # noqa: F401
                   GPNStageSpec, MODELNET_SPEC)
+from .fast_conv import PointNetConvFast  # noqa: F401
+from .context import ContextFusionModel, ContextNet  # noqa: F401
+from .template import SemanticPoolRefine, TemplateSegModel  # noqa: F401
+from .dense import DenseFeats  # noqa: F401

@@ -87,9 +87,9 @@ class ECDStage(nn.Module):
     def __call__(self, xyz: jnp.ndarray, mask: jnp.ndarray,
                  dxyz: jnp.ndarray, feats: jnp.ndarray):
         sp = self.spec
-        nbr = search.radius_neighbors(
-            xyz, mask, sp.radius, sp.k,
-            chunk=min(self.search_chunk, xyz.shape[0]))
+        nbr, = search.multi_band_neighbors(
+            xyz, mask, ((0.0, sp.radius, sp.k),),
+            cand_k=min(sp.k, xyz.shape[0]))
         sxyz = nb.neighbor_diff(xyz, nbr) / sp.radius
 
         g = sp.gxyz_dim
@@ -253,9 +253,9 @@ class PGNetHybrid(nn.Module):
             for p in stage.pairs:
                 key = (p.radius, p.k)
                 if key not in cache:
-                    cache[key] = search.radius_neighbors(
-                        lvl.xyz, lvl.mask, p.radius, p.k,
-                        chunk=min(self.search_chunk, lvl.xyz.shape[0]))
+                    cache[key], = search.multi_band_neighbors(
+                        lvl.xyz, lvl.mask, ((0.0, p.radius, p.k),),
+                        cand_k=min(p.k, lvl.xyz.shape[0]))
                 nbr = cache[key]
                 sxyz = nb.neighbor_diff(lvl.xyz, nbr) / p.radius
                 prev = feats

@@ -64,9 +64,9 @@ class GPNStage(nn.Module):
     def __call__(self, xyz: jnp.ndarray, mask: jnp.ndarray,
                  dxyz: jnp.ndarray, feats: jnp.ndarray):
         sp = self.spec
-        nbr = search.radius_neighbors(
-            xyz, mask, sp.radius, sp.k,
-            chunk=min(self.search_chunk, xyz.shape[0]))
+        nbr, = search.multi_band_neighbors(
+            xyz, mask, ((0.0, sp.radius, sp.k),),
+            cand_k=min(sp.k, xyz.shape[0]))
         sxyz = nb.neighbor_diff(xyz, nbr)  # raw diffs: lw = exp(sxyz @ pmiu)
 
         xyz_gc, lw, lw_sum = GPNConv(self.m, sp.gxyz_dim, mode="xyz",

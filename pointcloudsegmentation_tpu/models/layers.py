@@ -21,11 +21,31 @@ from ..ops.types import Neighborhood
 
 glorot = nn.initializers.glorot_uniform()
 
+# Global compute-dtype policy: bfloat16 halves HBM traffic and doubles MXU
+# rate; params and the loss stay float32.  Set before model init/apply
+# (read at trace time).
+_COMPUTE_DTYPE = [None]
+
+
+def set_compute_dtype(dtype) -> None:
+    """None -> full f32; jnp.bfloat16 -> mixed precision."""
+    _COMPUTE_DTYPE[0] = dtype
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE[0]
+
 
 class Dense(nn.Dense):
-    """nn.Dense with the reference's Xavier-uniform default init."""
+    """nn.Dense with the reference's Xavier-uniform default init and the
+    global compute-dtype policy."""
 
     kernel_init: Callable = glorot
+
+    def __post_init__(self):
+        if self.dtype is None and _COMPUTE_DTYPE[0] is not None:
+            object.__setattr__(self, "dtype", _COMPUTE_DTYPE[0])
+        super().__post_init__()
 
 
 def fc(x: jnp.ndarray, dim: int, name: str,

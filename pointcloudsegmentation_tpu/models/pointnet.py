@@ -30,6 +30,7 @@ from ..ops import hierarchy as hier
 from ..ops import neighbors as nb
 from ..ops import search
 from ..ops.types import Neighborhood, Pyramid
+from .fast_conv import PointNetConvFast
 from .layers import Dense, FCEmbed, GrowthMLP, PointNetConv, PointNetPoolMLP
 
 
@@ -171,14 +172,26 @@ class PointNetSegEncoder(nn.Module):
 
     arch: Arch = S3DIS_ARCH
     search_chunk: int = 1024
+    # candidate pool size for the shared per-level selection pass; must cover
+    # the densest band's true neighbor count (reference avg counts peak ~30)
+    cand_k: int = 64
+    # project-then-gather conv (fast_conv.PointNetConvFast): same function
+    # family, avoids materializing the [N,K,2F+3] edge concat in HBM
+    fast_conv: bool = True
 
-    def _neighborhood(self, cache: Dict, xyz, mask, spec_key) -> Neighborhood:
-        if spec_key not in cache:
-            radius, min_radius, k = spec_key
-            cache[spec_key] = search.radius_neighbors(
-                xyz, mask, radius, k, min_radius=min_radius,
-                chunk=min(self.search_chunk, xyz.shape[0]))
-        return cache[spec_key]
+    def _stage_neighborhoods(self, xyz, mask, specs) -> Dict:
+        """ALL of a stage's (min_radius, radius, k) searches in one
+        candidate-selection pass (search.multi_band_neighbors) — the
+        reference runs 4 independent O(N²) brute-force searches per stage
+        (model_pointnet.py:935-953)."""
+        uniq = []
+        for s in specs:
+            if s not in uniq:
+                uniq.append(s)
+        bands = tuple((mn, mx, k) for (mx, mn, k) in uniq)
+        nbrs = search.multi_band_neighbors(
+            xyz, mask, bands, cand_k=min(self.cand_k, xyz.shape[0]))
+        return dict(zip(uniq, nbrs))
 
     @nn.compact
     def __call__(self, pyramid: Pyramid, feats: jnp.ndarray):
@@ -192,14 +205,20 @@ class PointNetSegEncoder(nn.Module):
             for lvl in range(n_stages - 1):
                 avg_feats.append(hier.pool_avg(avg_feats[-1], pyramid, lvl))
 
-        caches = [dict() for _ in range(n_stages)]
+        # one shared search pass per level, covering every conv's band
+        caches = []
+        for s, stage in enumerate(arch.stages):
+            specs = [(c.radius, c.min_radius, c.k) for c in stage.convs]
+            if s == 1 and arch.pre_stage is not None:
+                specs.append((arch.pre_stage.radius, 0.0, arch.pre_stage.k))
+            caches.append(self._stage_neighborhoods(
+                pyramid.levels[s].xyz, pyramid.levels[s].mask, specs))
 
         # optional Semantic3D pre-stage on level 1, unpooled onto level 0
         if arch.pre_stage is not None:
             ps = arch.pre_stage
-            xyz1, mask1 = pyramid.levels[1].xyz, pyramid.levels[1].mask
-            nbr = self._neighborhood(caches[1], xyz1, mask1,
-                                     (ps.radius, 0.0, ps.k))
+            xyz1 = pyramid.levels[1].xyz
+            nbr = caches[1][(ps.radius, 0.0, ps.k)]
             sxyz = nb.neighbor_diff(xyz1, nbr) / ps.rescale
             pre = PointNetConv(ps.fc_dims, ps.out, name="feats_pre")(
                 sxyz, avg_feats[1], nbr)
@@ -215,8 +234,7 @@ class PointNetSegEncoder(nn.Module):
             mask_s = pyramid.levels[s].mask
             for c in stage.convs:
                 prev_feats = feats
-                nbr = self._neighborhood(
-                    caches[s], xyz_s, mask_s, (c.radius, c.min_radius, c.k))
+                nbr = caches[s][(c.radius, c.min_radius, c.k)]
                 rescale = stage.rescale if stage.rescale != 1.0 else c.radius
                 sxyz = nb.neighbor_diff(xyz_s, nbr) / rescale
                 if c.nofeats:
@@ -228,8 +246,10 @@ class PointNetSegEncoder(nn.Module):
                     if c.embed is not None:
                         fin = FCEmbed(c.embed, name=f"embed{embed_idx}")(feats)
                         embed_idx += 1
-                    fpn = PointNetConv(c.fc_dims, c.out,
-                                       name=f"feats{conv_idx}")(sxyz, fin, nbr)
+                    conv_cls = (PointNetConvFast if self.fast_conv
+                                else PointNetConv)
+                    fpn = conv_cls(c.fc_dims, c.out,
+                                   name=f"feats{conv_idx}")(sxyz, fin, nbr)
                     feats = jnp.concatenate([feats, fpn], axis=-1)
                 conv_idx += 1
             stage_feats.append(feats)

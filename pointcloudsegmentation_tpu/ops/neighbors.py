@@ -91,3 +91,22 @@ def masked_mean_eps(edge_feats: jnp.ndarray, nbr: Neighborhood,
     tf_ops/graph_conv_layer.py:684).  [N, K, F] -> [N, F]."""
     inv = (1.0 + eps) / (nbr.counts()[:, None] + eps)
     return inv * masked_sum(edge_feats, nbr)
+
+
+def eliminate_center(nbr: Neighborhood) -> Neighborhood:
+    """Strip self-edges from a neighborhood (``EliminateCenter``,
+    tf_ops/TFNeighborKernelNew.cu:337-392).  With static [N, K] shapes this
+    is a pure mask update — no repacking needed."""
+    n = nbr.idx.shape[0]
+    self_idx = jnp.arange(n, dtype=nbr.idx.dtype)[:, None]
+    keep = nbr.mask & (nbr.idx != self_idx)
+    idx = jnp.where(keep, nbr.idx, self_idx)
+    return Neighborhood(idx=idx, mask=keep)
+
+
+def concat_non_center(feats: jnp.ndarray, nbr: Neighborhood) -> jnp.ndarray:
+    """[center ‖ neighbor] over non-self edges
+    (``graph_concat_non_center_scatter``, tf_ops/graph_conv_layer.py:297-302).
+    Returns ([N, K, 2F], Neighborhood without self-edges)."""
+    nc = eliminate_center(nbr)
+    return neighbor_concat(feats, nc), nc

@@ -137,3 +137,71 @@ def knn_in_support(query: jnp.ndarray, query_mask: jnp.ndarray,
     d2 = jnp.where(valid, d2, 0.0)
     idx = jnp.where(valid, idx, 0)
     return idx, d2, valid
+
+
+@partial(jax.jit, static_argnames=("bands", "cand_k", "use_approx", "chunk"))
+def multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
+                         bands, cand_k: int = 64,
+                         use_approx: bool = True, chunk: int = 1024):
+    """Derive several radius/annulus fixed-K neighborhoods from ONE
+    candidate-selection pass.
+
+    The reference searches each band independently (4 brute-force O(N²)
+    passes per stage in pointnet_13_dilated_embed, model_pointnet.py:935-953).
+    On TPU the dominant cost is the row-wise selection over N, not the
+    distance matmul — so we select the ``cand_k`` nearest valid points once
+    (``lax.approx_max_k``, the TPU-native approximate top-k), recompute the
+    candidates' distances exactly in f32, and then each band is a cheap
+    [N, cand_k] masked top-k.
+
+    The selection runs over ``chunk``-row query tiles via ``lax.map``: the
+    [N, N] distance tensor never materializes, and (crucially) the TPU
+    compiler handles the [chunk, N] sort in ~1s where the full [N, N] sort
+    takes minutes to compile.
+
+    bands: tuple of (min_radius, max_radius, k).
+    Returns a tuple of Neighborhood, one per band.
+    """
+    n = xyz.shape[0]
+    chunk = min(chunk, n)
+    sq = jnp.sum(xyz * xyz, axis=-1)
+    n_pad = _pad_to_multiple(n, chunk)
+    q_chunks = jnp.pad(xyz, ((0, n_pad - n), (0, 0))).reshape(
+        n_pad // chunk, chunk, 3)
+    qn_chunks = jnp.pad(sq, (0, n_pad - n)).reshape(-1, chunk)
+
+    def select(args):
+        q, qn = args
+        # fast default precision (bf16-ish): errors are absorbed by cand_k
+        # slack + exact refiltering below
+        d2 = qn[:, None] + sq[None, :] - 2.0 * jnp.dot(
+            q, xyz.T, preferred_element_type=jnp.float32)
+        neg = jnp.where(mask[None, :], -d2, -_INF)
+        if use_approx:
+            _, ci = jax.lax.approx_max_k(neg, cand_k)
+        else:
+            _, ci = jax.lax.top_k(neg, cand_k)
+        return ci.astype(jnp.int32)
+
+    ci = jax.lax.map(select, (q_chunks, qn_chunks))
+    ci = ci.reshape(n_pad, cand_k)[:n]
+
+    # exact distances of the candidates
+    cxyz = jnp.take(xyz, ci, axis=0)                     # [N, ck, 3]
+    ed2 = jnp.sum((cxyz - xyz[:, None, :]) ** 2, axis=-1)
+    valid_cand = jnp.take(mask, ci, axis=0)
+    self_idx = jnp.arange(n, dtype=jnp.int32)
+    is_self = ci == self_idx[:, None]
+
+    out = []
+    for (mn, mx, k) in bands:
+        in_band = ((ed2 <= mx * mx) & (ed2 >= mn * mn) & valid_cand)
+        if mn > 0.0:
+            in_band &= ~is_self
+        score = jnp.where(in_band, -ed2, -_INF)
+        top, tidx = jax.lax.top_k(score, k)              # over cand_k only
+        idx = jnp.take_along_axis(ci, tidx, axis=1)
+        m = (top > -_INF * 0.5) & mask[:, None]
+        idx = jnp.where(m, idx, self_idx[:, None])
+        out.append(Neighborhood(idx=idx, mask=m))
+    return tuple(out)

@@ -130,3 +130,25 @@ def voxel_majority_label(labels: jnp.ndarray, mask: jnp.ndarray,
         0.0)
     votes = seg_ops.segment_sum(onehot, seg, v_max)
     return jnp.argmax(votes, axis=-1).astype(jnp.int32)
+
+
+def voxelize_with_labels(xyz: jnp.ndarray, mask: jnp.ndarray,
+                         labels: jnp.ndarray, voxel_size: float,
+                         block_size: float, v_max: int,
+                         num_classes: int) -> VoxelInfo:
+    """Class-pure voxelization: the packed key includes the class label, so
+    points of different classes never share a voxel
+    (``ComputePermutationInfoWithClass`` / ``class_pooling``,
+    ComputePermutationInfo.cc:166-252, tf_ops/graph_pooling_layer.py:230-257).
+    """
+    from . import segments as seg_ops
+
+    coords, grid = voxel_coords(xyz, voxel_size, block_size)
+    key = pack_keys(coords, grid, labels=labels, num_classes=num_classes)
+    seg = compute_segments(key, mask, v_max)
+    counts = seg_ops.segment_count(seg, v_max)
+    centers = seg_ops.segment_sum(
+        xyz * mask[:, None].astype(xyz.dtype), seg, v_max)
+    centers = centers / jnp.maximum(counts[:, None], 1.0)
+    return VoxelInfo(seg=seg, centers=centers, counts=counts,
+                     mask=counts > 0)

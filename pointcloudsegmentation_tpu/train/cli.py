@@ -97,6 +97,8 @@ def make_batches(cfg, args, split: str, batch_size: int):
 
 
 def main(argv=None):
+    from ..utils import cache as _cache
+    _cache.enable()
     args = parse_args(argv)
     cfg = build_cfg(args)
     log = get_logger("pcs_tpu.cli", args.log_file)

@@ -41,6 +41,7 @@ class TrainConfig:
     data: DataConfig = field(default_factory=DataConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
     batch_per_device: int = 1      # reference default --batch_size 1/GPU
+    compute_dtype: str = "bfloat16"  # "float32" | "bfloat16" (params f32)
     num_epochs: int = 100
     seed: int = 0
     log_every: int = 120           # reference --log_step

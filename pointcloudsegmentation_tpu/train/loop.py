@@ -65,6 +65,7 @@ def seg_loss(logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
 
     Returns (loss, effective labels, effective mask).
     """
+    logits = logits.astype(jnp.float32)  # loss always in f32
     valid = mask
     if ignore_label is not None:
         valid = valid & (labels != ignore_label)
@@ -89,6 +90,10 @@ class Trainer:
     search_chunk: int = 1024
 
     def __post_init__(self):
+        from ..models.layers import set_compute_dtype
+
+        set_compute_dtype(
+            jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else None)
         self.model = build_model(self.cfg, search_chunk=self.search_chunk)
         self.tx = make_optimizer(self.cfg)
         d = self.cfg.data

@@ -6,6 +6,7 @@ from __future__ import annotations
 from typing import Callable, Dict, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..models import (ClassifierHead, ECDSegModel, GPNClassModel,
@@ -19,21 +20,36 @@ from .config import TrainConfig
 class SegmentationModel(nn.Module):
     """Per-block pipeline: points_pooling hierarchy -> encoder ->
     classifier_v3 head -> per-point logits (the reference's ``tower_loss``
-    body, train_graph_pool_new.py:51-61)."""
+    body, train_graph_pool_new.py:51-61).  ``diffusion_steps > 0`` smooths
+    the output probabilities over the level-0 neighborhood (the
+    --use_diffusion path, model.py:920-945 graph_probs_diffusion)."""
 
     encoder: nn.Module
     num_classes: int
     voxel_sizes: Tuple[float, ...]
     caps: Tuple[int, ...]
     block_size: float
+    diffusion_steps: int = 0
+    diffusion_radius: float = 0.1
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, feats: jnp.ndarray,
                  mask: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from ..models.layers import ProbsDiffusion
+        from ..ops import search
+
         pyr = hier.build_pyramid(xyz, mask, self.voxel_sizes, self.caps,
                                  self.block_size)
         gf, lf = self.encoder(pyr, feats)
-        return SegClassifier(self.num_classes, name="head")(gf, lf, train)
+        logits = SegClassifier(self.num_classes, name="head")(gf, lf, train)
+        if self.diffusion_steps > 0:
+            nbr = search.radius_neighbors(xyz, mask, self.diffusion_radius,
+                                          8, chunk=min(1024, xyz.shape[0]))
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = ProbsDiffusion(self.diffusion_steps,
+                                   name="diffusion")(probs, nbr)
+            logits = jnp.log(jnp.maximum(probs, 1e-12))
+        return logits
 
 
 class ClassificationModel(nn.Module):

@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from pointcloudsegmentation_tpu.utils import cache as _cache  # noqa: E402
+
+_cache.enable()
 assert len(jax.devices()) == 8, jax.devices()
 
 import numpy as np  # noqa: E402
@@ -23,3 +27,13 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(autouse=True)
+def _reset_compute_dtype():
+    """The compute-dtype policy is process-global (set by Trainer); reset it
+    so float32-exact tests aren't affected by bf16 trainers running first."""
+    from pointcloudsegmentation_tpu.models.layers import set_compute_dtype
+    set_compute_dtype(None)
+    yield
+    set_compute_dtype(None)
