@@ -40,16 +40,22 @@ def main():
 
     for i in range(WARMUP):
         state, m = trainer.train_step(state, batches[i % 2], rng)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # host readback: block_until_ready alone does not
+    #                   reliably synchronize on the remote-TPU platform
 
+    # median of per-step synchronized times: the remote TPU pool has highly
+    # variable contention; the median is robust to transient stalls
     valid_points = int(batches[0]["mask"].sum())
-    t0 = time.perf_counter()
+    steps = []
     for i in range(ITERS):
+        t0 = time.perf_counter()
         state, m = trainer.train_step(state, batches[i % 2], rng)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+        float(m["loss"])
+        steps.append(time.perf_counter() - t0)
+    steps.sort()
+    dt = steps[len(steps) // 2]
 
-    pps = valid_points * ITERS / dt
+    pps = valid_points / dt
     print(json.dumps({
         "metric": "s3dis_train_points_per_sec_per_chip",
         "value": round(pps, 1),

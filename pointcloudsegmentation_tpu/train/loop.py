@@ -106,10 +106,13 @@ class Trainer:
 
     # -- init ------------------------------------------------------------
     def init_state(self, rng: jax.Array, example_batch: Dict) -> TrainState:
-        xyz = example_batch["xyz"][0]
-        feats = example_batch["feats"][0]
-        mask = example_batch["mask"][0]
-        params = self.model.init(rng, xyz, feats, mask, False)
+        xyz = jnp.asarray(example_batch["xyz"][0])
+        feats = jnp.asarray(example_batch["feats"][0])
+        mask = jnp.asarray(example_batch["mask"][0])
+        # jit the init: eager init dispatches hundreds of tiny compiles,
+        # which is pathologically slow through the remote-TPU tunnel
+        init_fn = jax.jit(partial(self.model.init, train=False))
+        params = init_fn(rng, xyz, feats, mask)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            opt_state=self.tx.init(params))
         if self.mesh is not None:

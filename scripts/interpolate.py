@@ -1,0 +1,141 @@
+"""Full-scene inference CLI — the analog of the reference's
+``interpolate*.py`` family (interpolate.py, interpolate_semantic3d_new.py,
+interpolate_scannet_new.py):
+
+restore a checkpoint -> per-block forward probs -> Gaussian k-NN
+interpolation to the full-resolution cloud -> IoU (labeled data) and/or
+Semantic3D ``.labels`` submission files.
+
+Usage (S3DIS rooms prepared with data.s3dis.prepare_room):
+  python scripts/interpolate.py --config s3dis --checkpoint-dir model/ \
+      --scene-dir data/rooms --out-dir results/
+Synthetic self-check (no data needed):
+  python scripts/interpolate.py --config s3dis --synthetic
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import numpy as np
+
+from pointcloudsegmentation_tpu.utils import cache as _cache
+_cache.enable()
+
+from pointcloudsegmentation_tpu.data import io_util, s3dis, toy
+from pointcloudsegmentation_tpu.data.batching import pad_block
+from pointcloudsegmentation_tpu.eval import (S3DIS_RATIO, SEMANTIC3D_RATIO,
+                                             eval_scene_probs,
+                                             interpolate_to_dense,
+                                             save_semantic3d_labels,
+                                             scene_iou)
+from pointcloudsegmentation_tpu.train import Trainer
+from pointcloudsegmentation_tpu.train.checkpoint import CheckpointManager
+from pointcloudsegmentation_tpu.train.cli import CONFIGS
+from pointcloudsegmentation_tpu.utils.logging import get_logger
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", choices=sorted(CONFIGS), default="s3dis")
+    p.add_argument("--checkpoint-dir", type=str, default=None)
+    p.add_argument("--scene-dir", type=str, default=None,
+                   help="dir of per-scene pkls (sampled blocks + dense pts)")
+    p.add_argument("--out-dir", type=str, default="results")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--knn", type=int, default=6)
+    p.add_argument("--labels-out", action="store_true",
+                   help="write Semantic3D .labels submissions")
+    args = p.parse_args()
+    log = get_logger("pcs_tpu.interpolate")
+
+    cfg = CONFIGS[args.config]()
+    trainer = Trainer(cfg)
+    rng = jax.random.PRNGKey(0)
+    ratio = SEMANTIC3D_RATIO if args.config == "semantic3d" else S3DIS_RATIO
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    d = cfg.data
+    apply_fn = jax.jit(lambda params, xyz, feats, mask: trainer.model.apply(
+        params, xyz, feats, mask, False))
+
+    def run_scene(name, blocks, dense_xyz, dense_labels):
+        sxyz, probs = eval_scene_probs(apply_fn, state.params, blocks)
+        qprobs = interpolate_to_dense(sxyz, probs, dense_xyz, k=args.knn,
+                                      ratio=ratio)
+        if args.labels_out:
+            path = os.path.join(args.out_dir, f"{name}.labels")
+            save_semantic3d_labels(path, qprobs)
+            log.info("%s: wrote %s", name, path)
+        if dense_labels is not None:
+            res = scene_iou(dense_labels, qprobs.argmax(1), d.num_classes)
+            log.info("%s: mIoU %.4f oAcc %.4f", name, res["miou"],
+                     res["oacc"])
+            return res
+        return None
+
+    if args.synthetic:
+        # one synthetic "scene": blocks cut from a larger cloud
+        rng_np = np.random.RandomState(0)
+        blocks = []
+        for i in range(4):
+            blk = toy.synthetic_room_block(rng_np, n=d.num_points,
+                                           num_classes=d.num_classes,
+                                           feat_dim=max(d.feat_dim, 1))
+            pb = pad_block(blk["xyz"], blk["feats"], blk["labels"],
+                           d.num_points)
+            pb["block_min"] = np.array([3.0 * i, 0, 0], np.float32)
+            blocks.append(pb)
+        dense_xyz = np.concatenate(
+            [b["xyz"][b["mask"]] + b["block_min"] for b in blocks], 0)
+        dense_labels = np.concatenate(
+            [b["labels"][b["mask"]] for b in blocks], 0)
+        state = trainer.init_state(rng, toy_batch(blocks))
+        res = run_scene("synthetic", blocks, dense_xyz, dense_labels)
+        assert res is not None
+        return res
+
+    assert args.checkpoint_dir and args.scene_dir
+    batch0 = None
+    scene_files = sorted(glob.glob(os.path.join(args.scene_dir, "*.pkl")))
+    results = []
+    state = None
+    for fn in scene_files:
+        data = io_util.read_pkl(fn)
+        blocks = []
+        for i in range(len(data["xyzs"])):
+            pb = pad_block(data["xyzs"][i],
+                           np.asarray(data["rgbs"][i], np.float32),
+                           np.asarray(data["lbls"][i], np.int32),
+                           d.num_points)
+            pb["block_min"] = np.asarray(data["block_mins"][i], np.float32)
+            blocks.append(pb)
+        if state is None:
+            from pointcloudsegmentation_tpu.data.batching import stack_blocks
+            state = trainer.init_state(rng, stack_blocks(blocks[:1]))
+            ckpt = CheckpointManager(args.checkpoint_dir)
+            state = ckpt.restore(state)
+        dense_xyz = np.concatenate(
+            [b["xyz"][b["mask"]] + b["block_min"] for b in blocks], 0)
+        dense_labels = np.concatenate(
+            [b["labels"][b["mask"]] for b in blocks], 0)
+        name = os.path.splitext(os.path.basename(fn))[0]
+        results.append(run_scene(name, blocks, dense_xyz, dense_labels))
+    return results
+
+
+def toy_batch(blocks):
+    from pointcloudsegmentation_tpu.data.batching import stack_blocks
+    return stack_blocks([{k: b[k] for k in
+                          ("xyz", "feats", "labels", "mask")}
+                         for b in blocks[:1]])
+
+
+if __name__ == "__main__":
+    main()
