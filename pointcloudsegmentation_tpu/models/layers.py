@@ -263,8 +263,6 @@ class GPNConv(nn.Module):
                 [sxyz, nb.gather_neighbors(feats, nbr)], axis=-1)
         ifn = cfeats.shape[-1]
         pw = self.param("pw", glorot, (ifn, self.m * self.out_dim))
-        tfeats = (cfeats @ pw).reshape(
-            cfeats.shape[0], cfeats.shape[1], self.m, self.out_dim)
 
         if lw is None:
             pmiu_init = jnp.asarray(anchor_gen.sphere_kmeans_anchors(self.m))
@@ -276,7 +274,15 @@ class GPNConv(nn.Module):
             lw = lw * nbr.mask[..., None].astype(lw.dtype)
             lw_sum = jnp.sum(lw, axis=1)                       # [N,m]
 
-        num = jnp.einsum("nkm,nkmo->nmo", lw, tfeats)          # [N,m,ofn]
+        # Factored bilinear aggregation — the fused LocationWeightFeatSum
+        # (TFNeighborKernel.cu:179-211) computes Σ_k lw[n,k,m]·(cfeats@pw);
+        # factoring the sum over k INSIDE the projection avoids the
+        # [N,K,m,ofn] intermediate entirely:
+        #   A[n,m,f] = Σ_k lw[n,k,m]·cfeats[n,k,f]     (small)
+        #   num[n,m,o] = Σ_f A[n,m,f]·pw[f,m,o]
+        pw3 = pw.reshape(ifn, self.m, self.out_dim)
+        agg = jnp.einsum("nkm,nkf->nmf", lw, cfeats)           # [N,m,ifn]
+        num = jnp.einsum("nmf,fmo->nmo", agg, pw3)             # [N,m,ofn]
         out = num / (lw_sum[..., None] + 1e-6)
         if self.no_sum:
             out = out.reshape(out.shape[0], self.m * self.out_dim)

@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
+import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 
@@ -19,7 +21,12 @@ class CheckpointManager:
                                                  create=True))
 
     def save(self, epoch: int, state: Any) -> None:
-        self._mgr.save(epoch, args=ocp.args.StandardSave(state))
+        # snapshot to host first: the live state's buffers may be donated by
+        # the next train step before an async save completes
+        import numpy as np
+
+        host_state = jax.tree_util.tree_map(np.asarray, state)
+        self._mgr.save(epoch, args=ocp.args.StandardSave(host_state))
         self._mgr.wait_until_finished()
 
     def restore(self, state_like: Any,
@@ -27,8 +34,11 @@ class CheckpointManager:
         step = epoch if epoch is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self._dir}")
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype),
+            state_like)
         return self._mgr.restore(
-            step, args=ocp.args.StandardRestore(state_like))
+            step, args=ocp.args.StandardRestore(abstract))
 
     def latest_epoch(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -57,6 +57,10 @@ def parse_args(argv=None):
                    help="evaluate only (restore + test epoch)")
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device mode (skip mesh sharding)")
+    p.add_argument("--ablate-feats", choices=["none", "zero", "drop-rgb",
+                                              "drop-covars"], default="none",
+                   help="feature-ablation retraining (the reference's "
+                        "train_feats_compare*.py experiments)")
     return p.parse_args(argv)
 
 
@@ -77,14 +81,33 @@ def build_cfg(args) -> config_lib.TrainConfig:
     return CONFIGS[args.config](**over)
 
 
+def _ablate(batch, mode):
+    if mode == "none":
+        return batch
+    feats = batch["feats"]
+    if mode == "zero":
+        feats = np.zeros_like(feats)
+    elif mode == "drop-rgb":
+        feats = np.concatenate([np.zeros_like(feats[..., :3]),
+                                feats[..., 3:]], -1)
+    elif mode == "drop-covars":
+        feats = feats.copy()
+        feats[..., 3:] = 0
+    out = dict(batch)
+    out["feats"] = feats
+    return out
+
+
 def make_batches(cfg, args, split: str, batch_size: int):
     d = cfg.data
     if args.synthetic or not args.data_dir:
         steps = args.steps_per_epoch or 50
-        return lambda: toy.toy_batches(
-            steps, batch_size, num_points=d.num_points, kind="room",
-            num_classes=d.num_classes, feat_dim=max(d.feat_dim, 1),
-            seed=0 if split == "train" else 1)
+        return lambda: (_ablate(b, args.ablate_feats)
+                        for b in toy.toy_batches(
+                            steps, batch_size, num_points=d.num_points,
+                            kind="room", num_classes=d.num_classes,
+                            feat_dim=max(d.feat_dim, 1),
+                            seed=0 if split == "train" else 1))
     data_dir = args.data_dir if split == "train" else (
         args.test_data_dir or args.data_dir)
     files = sorted(glob.glob(os.path.join(data_dir, "*.pkl")))
@@ -92,8 +115,9 @@ def make_batches(cfg, args, split: str, batch_size: int):
         raise FileNotFoundError(f"no .pkl files in {data_dir}")
     read_fn = partial(s3dis.blocks_from_room_pkl,
                       use_covars=d.feat_dim > 3)
-    return lambda: Provider(files, split, batch_size, read_fn,
-                            d.num_points)
+    return lambda: (_ablate(b, args.ablate_feats)
+                    for b in Provider(files, split, batch_size, read_fn,
+                                      d.num_points))
 
 
 def main(argv=None):
