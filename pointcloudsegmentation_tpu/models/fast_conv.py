@@ -1,21 +1,19 @@
-"""Memory-optimal pointnet_conv: project-then-gather decomposition.
+"""Gather-minimal pointnet_conv.
 
-The naive formulation (layers.PointNetConv, matching the reference's
-``pointnet_conv`` model_pointnet.py:10-24) materializes the per-edge concat
-``[center ‖ neighbor ‖ sxyz]`` of width 2F+3 (F up to ~300 late in a stage),
-an [N, K, 2F+3] HBM tensor touched by every growth layer.  On TPU the conv
-is HBM-bandwidth-bound, so we decompose every Dense over the concat into
-per-source projections:
+TPU gathers are row-DMA-bound (~66M rows/s, nearly independent of row
+width — measured via device trace), so the unit of cost is *gathered rows*,
+i.e. one N·K-row gather per conv is the floor for any neighbor conv.  This
+layer hits that floor: every Dense over the growth concat
+``[cen ‖ nbr ‖ sxyz ‖ c_1 …]`` is decomposed into per-source projections
+(same function family as layers.PointNetConv — verified by parameter-mapping
+tests), and all layers' neighbor projections are computed from the SAME conv
+input, so they are fused into one wide projection and gathered ONCE:
 
-    W @ [cen ‖ nbr ‖ sxyz ‖ c_1 … c_{i-1}]
-      = W_c·cen  (no K axis — [N, D] broadcast)
-      + gather(feats @ W_n)           (project FIRST, gather D ≪ F dims)
-      + sxyz @ W_s                    ([N, K, 3] @ [3, D])
-      + Σ_j c_j @ W_j                 (hidden tensors, 16-dim each)
+    nbr_all = take(feats @ [W_0^nbr ‖ W_1^nbr ‖ … ‖ W_out^nbr], idx)
 
-Only the D-dim hidden activations ever live on the [N, K] edge grid.  Same
-function family as the reference layer (a reparametrization of the same
-linear maps), verified against the naive layer in tests/test_fast_conv.py.
+The per-edge residents are then just the (narrow) hidden activations plus
+one pre-gathered projection block — the [N, K, 2F+3] concat of the naive
+formulation (reference pointnet_conv, model_pointnet.py:10-24) never exists.
 """
 from __future__ import annotations
 
@@ -38,26 +36,26 @@ class PointNetConvFast(nn.Module):
     @nn.compact
     def __call__(self, sxyz: jnp.ndarray, feats: jnp.ndarray,
                  nbr: Neighborhood) -> jnp.ndarray:
-        n, k = nbr.idx.shape
+        dims = list(self.fc_dims) + [self.out_dim]
 
-        def parts_dense(i: int, d: int, hiddens):
-            """Dense(d) over [c_{i-1}…c_1 ‖ cen ‖ nbr ‖ sxyz] as a sum of
-            per-source projections (one bias)."""
-            cen = Dense(d, name=f"fc_{i}_cen")(feats)            # [N, d]
-            nbr_proj = Dense(d, use_bias=False,
-                             name=f"fc_{i}_nbr")(feats)          # [N, d]
-            nbr_part = jnp.take(nbr_proj, nbr.idx, axis=0)       # [N, K, d]
-            sx_part = Dense(d, use_bias=False,
-                            name=f"fc_{i}_sxyz")(sxyz)           # [N, K, d]
-            acc = cen[:, None, :] + nbr_part + sx_part
-            for j, h in enumerate(hiddens):
-                acc = acc + Dense(d, use_bias=False,
-                                  name=f"fc_{i}_h{j}")(h)
-            return acc
+        # ONE fused neighbor projection + ONE gather for all layers
+        nbr_proj = jnp.concatenate(
+            [Dense(d, use_bias=False, name=f"fc_{i}_nbr")(feats)
+             for i, d in enumerate(dims)], axis=-1)
+        nbr_all = jnp.take(nbr_proj, nbr.idx, axis=0)       # [N, K, ΣD]
+        offs = [0]
+        for d in dims:
+            offs.append(offs[-1] + d)
 
         hiddens = []
-        for i, d in enumerate(self.fc_dims):
-            c = nn.relu(parts_dense(i, d, hiddens))
-            hiddens.append(c)
-        out = parts_dense(len(self.fc_dims), self.out_dim, hiddens)
+        for i, d in enumerate(dims):
+            cen = Dense(d, name=f"fc_{i}_cen")(feats)       # bias lives here
+            sx = Dense(d, use_bias=False, name=f"fc_{i}_sxyz")(sxyz)
+            acc = cen[:, None, :] + nbr_all[..., offs[i]:offs[i + 1]] + sx
+            for j, h in enumerate(hiddens):
+                acc = acc + Dense(d, use_bias=False, name=f"fc_{i}_h{j}")(h)
+            if i < len(self.fc_dims):
+                hiddens.append(nn.relu(acc))
+            else:
+                out = acc
         return nb.masked_max(out, nbr)

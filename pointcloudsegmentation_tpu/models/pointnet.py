@@ -205,21 +205,27 @@ class PointNetSegEncoder(nn.Module):
             for lvl in range(n_stages - 1):
                 avg_feats.append(hier.pool_avg(avg_feats[-1], pyramid, lvl))
 
-        # one shared search pass per level, covering every conv's band
+        # one shared search pass per level, covering every conv's band;
+        # raw sxyz gathered once per distinct neighborhood (the per-conv
+        # xyz gather showed up as ~25 ms/step in device traces)
         caches = []
+        sxyz_caches = []
         for s, stage in enumerate(arch.stages):
             specs = [(c.radius, c.min_radius, c.k) for c in stage.convs]
             if s == 1 and arch.pre_stage is not None:
                 specs.append((arch.pre_stage.radius, 0.0, arch.pre_stage.k))
-            caches.append(self._stage_neighborhoods(
-                pyramid.levels[s].xyz, pyramid.levels[s].mask, specs))
+            cache = self._stage_neighborhoods(
+                pyramid.levels[s].xyz, pyramid.levels[s].mask, specs)
+            caches.append(cache)
+            sxyz_caches.append({
+                spec: nb.neighbor_diff(pyramid.levels[s].xyz, nbr_)
+                for spec, nbr_ in cache.items()})
 
         # optional Semantic3D pre-stage on level 1, unpooled onto level 0
         if arch.pre_stage is not None:
             ps = arch.pre_stage
-            xyz1 = pyramid.levels[1].xyz
             nbr = caches[1][(ps.radius, 0.0, ps.k)]
-            sxyz = nb.neighbor_diff(xyz1, nbr) / ps.rescale
+            sxyz = sxyz_caches[1][(ps.radius, 0.0, ps.k)] / ps.rescale
             pre = PointNetConv(ps.fc_dims, ps.out, name="feats_pre")(
                 sxyz, avg_feats[1], nbr)
             pre = hier.unpool(pre, pyramid, 0)
@@ -234,9 +240,10 @@ class PointNetSegEncoder(nn.Module):
             mask_s = pyramid.levels[s].mask
             for c in stage.convs:
                 prev_feats = feats
-                nbr = caches[s][(c.radius, c.min_radius, c.k)]
+                spec = (c.radius, c.min_radius, c.k)
+                nbr = caches[s][spec]
                 rescale = stage.rescale if stage.rescale != 1.0 else c.radius
-                sxyz = nb.neighbor_diff(xyz_s, nbr) / rescale
+                sxyz = sxyz_caches[s][spec] / rescale
                 if c.nofeats:
                     feats = PointNetConv(
                         c.fc_dims, c.out, use_feats=False,

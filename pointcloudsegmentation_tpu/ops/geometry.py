@@ -52,3 +52,25 @@ def normalize_rgb(rgb: jnp.ndarray) -> jnp.ndarray:
     """Color to [-1, 1] as the reference's normalize_block does
     (aug_util.py:425-450)."""
     return rgb / 127.5 - 1.0
+
+
+def estimate_normals(xyz: jnp.ndarray, nbr: Neighborhood) -> jnp.ndarray:
+    """Per-point surface normals as the smallest-eigenvalue eigenvector of
+    the local covariance (the reference's normal-estimation experiment,
+    normal_experiment.py).  Signs are canonicalized to +z hemisphere.
+
+    xyz: [N, 3] -> [N, 3] unit normals (zeros where no valid neighbors).
+    """
+    pts = nb.gather_neighbors(xyz, nbr)
+    m = nbr.mask[..., None].astype(jnp.float32)
+    cnt = jnp.maximum(nbr.counts()[:, None, None], 1.0)
+    mean = jnp.sum(pts * m, axis=1, keepdims=True) / cnt
+    d = (pts - mean) * m
+    cov = jnp.einsum("nki,nkj->nij", d, d) / cnt
+    # eigh on [N,3,3] batches fine on TPU/CPU
+    _, vecs = jnp.linalg.eigh(cov)
+    normal = vecs[:, :, 0]                    # smallest eigenvalue
+    sign = jnp.where(normal[:, 2:3] < 0, -1.0, 1.0)
+    normal = normal * sign
+    has = jnp.any(nbr.mask, axis=1)[:, None]
+    return jnp.where(has, normal, 0.0)

@@ -112,7 +112,15 @@ class Trainer:
         # jit the init: eager init dispatches hundreds of tiny compiles,
         # which is pathologically slow through the remote-TPU tunnel
         init_fn = jax.jit(partial(self.model.init, train=False))
-        params = init_fn(rng, xyz, feats, mask)
+        if "ctx_xyz" in example_batch:
+            params = init_fn(
+                rng, xyz, feats, mask,
+                jnp.asarray(example_batch["ctx_xyz"][0]),
+                jnp.asarray(example_batch["ctx_feats"][0]),
+                jnp.asarray(example_batch["ctx_mask"][0]),
+                jnp.asarray(example_batch["ctx_idx"][0]))
+        else:
+            params = init_fn(rng, xyz, feats, mask)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            opt_state=self.tx.init(params))
         if self.mesh is not None:
@@ -121,6 +129,18 @@ class Trainer:
 
     # -- steps -----------------------------------------------------------
     def _batched_logits(self, params, batch, rngs, train: bool):
+        if "ctx_xyz" in batch:
+            # context-fusion models take the 50 m context cloud + per-point
+            # context indices (train_gpn_semantic3d_context tower_loss)
+            def one_ctx(xyz, feats, mask, cx, cf, cm, ci, rng):
+                return self.model.apply(params, xyz, feats, mask, cx, cf,
+                                        cm, ci, train,
+                                        rngs={"dropout": rng})
+            return jax.vmap(one_ctx)(
+                batch["xyz"], batch["feats"], batch["mask"],
+                batch["ctx_xyz"], batch["ctx_feats"], batch["ctx_mask"],
+                batch["ctx_idx"], rngs)
+
         def one(xyz, feats, mask, rng):
             return self.model.apply(params, xyz, feats, mask, train,
                                     rngs={"dropout": rng})

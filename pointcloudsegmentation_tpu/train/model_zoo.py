@@ -93,5 +93,16 @@ def build_model(cfg: TrainConfig, search_chunk: int = 1024) -> nn.Module:
     if cfg.model == "gpn_modelnet40":
         return ClassificationModel(
             encoder=GPNClassModel(search_chunk=search_chunk), **common)
-    raise KeyError(f"unknown model '{cfg.model}'; "
-                   f"known: {sorted(enc_map) + ['gpn_modelnet40']}")
+    if cfg.model == "context_semantic3d":
+        # two-resolution fusion (train_gpn_semantic3d_context.py:50-71)
+        from ..models import ContextFusionModel
+        from ..models.ecd import S3DIS_ECD_SPEC
+
+        return ContextFusionModel(
+            encoder=ECDSegModel(specs=S3DIS_ECD_SPEC,
+                                search_chunk=search_chunk),
+            num_classes=d.num_classes, voxel_sizes=d.voxel_sizes,
+            caps=d.caps, block_size=d.block_size)
+    raise KeyError(
+        f"unknown model '{cfg.model}'; known: "
+        f"{sorted(enc_map) + ['gpn_modelnet40', 'context_semantic3d']}")

@@ -135,3 +135,30 @@ def test_analysis_capture_and_cluster(rng):
     key = next(iter(acts))
     assign = cluster_activations(acts, key, k=4)
     assert set(np.unique(assign)) <= set(range(4))
+
+
+def test_estimate_normals_plane(rng):
+    from pointcloudsegmentation_tpu.ops import geometry, search
+    # points on the z=0 plane -> normals ~ +z
+    xyz = rng.uniform(-1, 1, (200, 3)).astype(np.float32)
+    xyz[:, 2] = 0.001 * rng.randn(200)
+    mask = np.ones(200, bool)
+    nbr = search.radius_neighbors(jnp.asarray(xyz), jnp.asarray(mask),
+                                  0.4, 12, chunk=64)
+    n = np.asarray(geometry.estimate_normals(jnp.asarray(xyz), nbr))
+    assert np.abs(n[:, 2]).mean() > 0.99
+
+
+def test_anchor_generation():
+    from pointcloudsegmentation_tpu.ops import anchors
+    for fn, m in ((anchors.grid_anchors_v2, 26), (anchors.grid_anchors, 40)):
+        a = fn()
+        assert a.shape == (3, m)
+        np.testing.assert_allclose(np.linalg.norm(a, axis=0), 1.0, rtol=1e-5)
+    km = anchors.sphere_kmeans_anchors(8)
+    assert km.shape == (3, 8)
+    norms = np.linalg.norm(km, axis=0)
+    assert (norms > 0.5).all()  # near the sphere (cluster means shrink a bit)
+    # canonicalization: anchor 0 points at +z
+    np.testing.assert_allclose(km[:2, 0], 0.0, atol=1e-5)
+    assert km[2, 0] > 0

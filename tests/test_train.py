@@ -94,3 +94,27 @@ def test_scannet_ignore_label():
     # ignored points (label 0) are excluded from the count
     n_ignored = int((batches[0]["labels"] == 0).sum())
     assert int(m["count"]) == int(batches[0]["mask"].sum()) - n_ignored
+
+
+def test_context_trainer():
+    """Context-fusion training step (train_gpn_semantic3d_context analog)."""
+    from pointcloudsegmentation_tpu.train import semantic3d_config
+
+    cfg = semantic3d_config(model="context_semantic3d",
+                            data_num_points=256, data_caps=(128, 32),
+                            data_num_classes=8, data_feat_dim=13,
+                            data_ignore_label=0, optim_epoch_steps=5)
+    trainer = Trainer(cfg, search_chunk=128)
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    base = list(toy.toy_batches(1, batch_size=2, num_points=256,
+                                kind="room", num_classes=8, feat_dim=13))[0]
+    nc = 32
+    base["ctx_xyz"] = rng.uniform(-25, 25, (2, nc, 3)).astype(np.float32)
+    base["ctx_feats"] = rng.randn(2, nc, 13).astype(np.float32)
+    base["ctx_mask"] = np.ones((2, nc), bool)
+    base["ctx_idx"] = rng.randint(0, nc, (2, 256)).astype(np.int32)
+
+    state = trainer.init_state(key, base)
+    state, m = trainer.train_step(state, base, key)
+    assert np.isfinite(float(m["loss"]))
