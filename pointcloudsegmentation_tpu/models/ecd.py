@@ -87,10 +87,10 @@ class ECDStage(nn.Module):
     def __call__(self, xyz: jnp.ndarray, mask: jnp.ndarray,
                  dxyz: jnp.ndarray, feats: jnp.ndarray):
         sp = self.spec
-        nbr, = search.multi_band_neighbors(
+        (nbr, sxyz_raw), = search.multi_band_neighbors(
             xyz, mask, ((0.0, sp.radius, sp.k),),
-            cand_k=min(sp.k, xyz.shape[0]))
-        sxyz = nb.neighbor_diff(xyz, nbr) / sp.radius
+            cand_k=min(sp.k, xyz.shape[0]), return_sxyz=True)
+        sxyz = sxyz_raw / sp.radius
 
         g = sp.gxyz_dim
         xyz_gc = ECDConv((g // 2, g // 2), (g // 2, g // 2), g,
@@ -255,9 +255,9 @@ class PGNetHybrid(nn.Module):
                 if key not in cache:
                     cache[key], = search.multi_band_neighbors(
                         lvl.xyz, lvl.mask, ((0.0, p.radius, p.k),),
-                        cand_k=min(p.k, lvl.xyz.shape[0]))
-                nbr = cache[key]
-                sxyz = nb.neighbor_diff(lvl.xyz, nbr) / p.radius
+                        cand_k=min(p.k, lvl.xyz.shape[0]), return_sxyz=True)
+                nbr, sxyz_raw = cache[key]
+                sxyz = sxyz_raw / p.radius
                 prev = feats
                 pn = PointNetConv(p.pn_dims, p.pn_out,
                                   name=f"pointnet{pair_idx}")(

@@ -64,10 +64,10 @@ class GPNStage(nn.Module):
     def __call__(self, xyz: jnp.ndarray, mask: jnp.ndarray,
                  dxyz: jnp.ndarray, feats: jnp.ndarray):
         sp = self.spec
-        nbr, = search.multi_band_neighbors(
+        (nbr, sxyz), = search.multi_band_neighbors(
             xyz, mask, ((0.0, sp.radius, sp.k),),
-            cand_k=min(sp.k, xyz.shape[0]))
-        sxyz = nb.neighbor_diff(xyz, nbr)  # raw diffs: lw = exp(sxyz @ pmiu)
+            cand_k=min(sp.k, xyz.shape[0]), return_sxyz=True)
+        # raw diffs: lw = exp(sxyz @ pmiu)
 
         xyz_gc, lw, lw_sum = GPNConv(self.m, sp.gxyz_dim, mode="xyz",
                                      no_sum=True, name="xyz_gc")(

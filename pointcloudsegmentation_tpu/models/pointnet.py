@@ -189,9 +189,10 @@ class PointNetSegEncoder(nn.Module):
             if s not in uniq:
                 uniq.append(s)
         bands = tuple((mn, mx, k) for (mx, mn, k) in uniq)
-        nbrs = search.multi_band_neighbors(
-            xyz, mask, bands, cand_k=min(self.cand_k, xyz.shape[0]))
-        return dict(zip(uniq, nbrs))
+        pairs = search.multi_band_neighbors(
+            xyz, mask, bands, cand_k=min(self.cand_k, xyz.shape[0]),
+            return_sxyz=True)
+        return dict(zip(uniq, pairs))
 
     @nn.compact
     def __call__(self, pyramid: Pyramid, feats: jnp.ndarray):
@@ -214,12 +215,10 @@ class PointNetSegEncoder(nn.Module):
             specs = [(c.radius, c.min_radius, c.k) for c in stage.convs]
             if s == 1 and arch.pre_stage is not None:
                 specs.append((arch.pre_stage.radius, 0.0, arch.pre_stage.k))
-            cache = self._stage_neighborhoods(
+            pairs = self._stage_neighborhoods(
                 pyramid.levels[s].xyz, pyramid.levels[s].mask, specs)
-            caches.append(cache)
-            sxyz_caches.append({
-                spec: nb.neighbor_diff(pyramid.levels[s].xyz, nbr_)
-                for spec, nbr_ in cache.items()})
+            caches.append({spec: p[0] for spec, p in pairs.items()})
+            sxyz_caches.append({spec: p[1] for spec, p in pairs.items()})
 
         # optional Semantic3D pre-stage on level 1, unpooled onto level 0
         if arch.pre_stage is not None:

@@ -139,10 +139,12 @@ def knn_in_support(query: jnp.ndarray, query_mask: jnp.ndarray,
     return idx, d2, valid
 
 
-@partial(jax.jit, static_argnames=("bands", "cand_k", "use_approx", "chunk"))
+@partial(jax.jit, static_argnames=("bands", "cand_k", "use_approx", "chunk",
+                                   "return_sxyz"))
 def multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
                          bands, cand_k: int = 64,
-                         use_approx: bool = True, chunk: int = 1024):
+                         use_approx: bool = True, chunk: int = 1024,
+                         return_sxyz: bool = False):
     """Derive several radius/annulus fixed-K neighborhoods from ONE
     candidate-selection pass.
 
@@ -160,7 +162,10 @@ def multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
     takes minutes to compile.
 
     bands: tuple of (min_radius, max_radius, k).
-    Returns a tuple of Neighborhood, one per band.
+    Returns a tuple of Neighborhood, one per band; with ``return_sxyz`` a
+    tuple of (Neighborhood, sxyz [N, k, 3]) pairs — the raw neighbor offsets
+    come for free from the already-gathered candidate coordinates, saving
+    the models a separate [N, K]-row gather per neighborhood.
     """
     n = xyz.shape[0]
     chunk = min(chunk, n)
@@ -196,26 +201,37 @@ def multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
     self_idx = jnp.arange(n, dtype=jnp.int32)
     is_self = ci == self_idx[:, None]
 
-    # ONE exact-distance sort of the candidate pool; every band then
-    # compacts its first-k in-band candidates with a cumsum + one-hot
-    # contraction (replaces one top_k per band)
-    order = jnp.argsort(jnp.where(valid_cand, ed2, _INF), axis=1)
-    ed2_s = jnp.take_along_axis(ed2, order, axis=1)
-    ci_s = jnp.take_along_axis(ci, order, axis=1)
-    valid_s = jnp.take_along_axis(valid_cand, order, axis=1)
-    self_s = jnp.take_along_axis(is_self, order, axis=1)
+    # Rank-based compaction: no sort, no take_along_axis (element gathers
+    # are row-DMA-bound and dominated earlier traces).  ``closer[n,c,j]`` is
+    # the strict lexicographic order on (distance, slot); a band's rank of
+    # candidate c counts its in-band closer-than-c candidates — a batched
+    # [ck, ck] @ [ck] contraction on the VPU/MXU.
+    lex_lt = (ed2[:, :, None] > ed2[:, None, :]) | (
+        (ed2[:, :, None] == ed2[:, None, :])
+        & (jnp.arange(cand_k)[None, :, None]
+           > jnp.arange(cand_k)[None, None, :]))
+    lex_lt_f = lex_lt.astype(jnp.float32)           # [N, ck, ck]
+    sxyz_cand = cxyz - xyz[:, None, :]              # [N, ck, 3]
 
     out = []
     for (mn, mx, k) in bands:
-        in_band = (ed2_s <= mx * mx) & (ed2_s >= mn * mn) & valid_s
+        in_band = (ed2 <= mx * mx) & (ed2 >= mn * mn) & valid_cand
         if mn > 0.0:
-            in_band &= ~self_s
-        pos = jnp.cumsum(in_band.astype(jnp.int32), axis=1) - 1  # [N, ck]
+            in_band &= ~is_self
+        band_f = in_band.astype(jnp.float32)
+        rank = jnp.einsum("ncj,nj->nc", lex_lt_f, band_f)  # [N, ck]
+        rank = rank.astype(jnp.int32)
         slot = jnp.arange(k, dtype=jnp.int32)
-        hit = in_band[:, :, None] & (pos[:, :, None] == slot[None, None, :])
-        idx = jnp.sum(jnp.where(hit, ci_s[:, :, None], 0), axis=1)
+        hit = in_band[:, :, None] & (rank[:, :, None] == slot[None, None, :])
+        hit_f = hit.astype(jnp.float32)
+        idx = jnp.sum(jnp.where(hit, ci[:, :, None], 0), axis=1)
         count = jnp.sum(in_band.astype(jnp.int32), axis=1, keepdims=True)
         m = (slot[None, :] < count) & mask[:, None]
         idx = jnp.where(m, idx, self_idx[:, None]).astype(jnp.int32)
-        out.append(Neighborhood(idx=idx, mask=m))
+        nbr_ = Neighborhood(idx=idx, mask=m)
+        if return_sxyz:
+            sxyz = jnp.einsum("nck,ncd->nkd", hit_f, sxyz_cand)
+            out.append((nbr_, sxyz))
+        else:
+            out.append(nbr_)
     return tuple(out)
