@@ -21,8 +21,9 @@ from pointcloudsegmentation_tpu.train import Trainer, s3dis_config
 
 BASELINE_POINTS_PER_SEC = 8.0e4  # estimated TF-CUDA reference, 1x V100
 
-NUM_POINTS = 8192
-BATCH = 4
+import os
+NUM_POINTS = int(os.environ.get("PCS_BENCH_POINTS", 8192))
+BATCH = int(os.environ.get("PCS_BENCH_BATCH", 4))
 WARMUP = 3
 ITERS = 20
 

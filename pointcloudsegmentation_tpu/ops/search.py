@@ -183,6 +183,8 @@ def multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
             q, xyz.T, preferred_element_type=jnp.float32)
         neg = jnp.where(mask[None, :], -d2, -_INF)
         if use_approx:
+            # NOTE: bf16 scores were tried and are SLOWER (the conversion
+            # pass over [chunk, N] costs more than the sort saves)
             _, ci = jax.lax.approx_max_k(neg, cand_k)
         else:
             _, ci = jax.lax.top_k(neg, cand_k)
