@@ -70,3 +70,21 @@ def unpool(feats: jnp.ndarray, pyramid: Pyramid, level: int) -> jnp.ndarray:
     """Broadcast level+1 voxel features to level points (``graph_unpool``,
     tf_ops/graph_conv_layer.py:292-294)."""
     return seg_ops.segment_unpool(feats, pyramid.seg[level])
+
+
+def average_downsample(xyz: jnp.ndarray, feats: jnp.ndarray,
+                       mask: jnp.ndarray, ds_size: float,
+                       block_size: float, v_max: int):
+    """Voxel-mean downsample of coordinates AND features
+    (``average_downsample``, tf_ops/graph_pooling_layer.py:67-85; also the
+    in-graph prep reused by the Semantic3D context pipeline,
+    semantic3d_context_util.py:96-108).
+
+    Returns (center_xyz [v_max,3], center_feats [v_max,F], vmask [v_max]).
+    """
+    from . import voxelize as vox
+
+    info = vox.voxelize(xyz, mask, ds_size, block_size, v_max)
+    mf = mask[:, None].astype(feats.dtype)
+    cf = seg_ops.segment_mean(feats * mf, info.seg, v_max)
+    return info.centers, cf, info.mask

@@ -57,6 +57,9 @@ def parse_args(argv=None):
                    help="evaluate only (restore + test epoch)")
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device mode (skip mesh sharding)")
+    p.add_argument("--use-diffusion", type=int, default=0, metavar="STEPS",
+                   help="probs-diffusion smoothing steps "
+                        "(train_graph_pool.py --use_diffusion)")
     p.add_argument("--ablate-feats", choices=["none", "zero", "drop-rgb",
                                               "drop-covars"], default="none",
                    help="feature-ablation retraining (the reference's "
@@ -78,6 +81,8 @@ def build_cfg(args) -> config_lib.TrainConfig:
         over["optim_epoch_steps"] = args.steps_per_epoch
     if args.checkpoint_dir:
         over["checkpoint_dir"] = args.checkpoint_dir
+    if args.use_diffusion:
+        over["diffusion_steps"] = args.use_diffusion
     return CONFIGS[args.config](**over)
 
 

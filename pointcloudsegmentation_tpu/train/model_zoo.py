@@ -75,6 +75,7 @@ def build_model(cfg: TrainConfig, search_chunk: int = 1024) -> nn.Module:
     d = cfg.data
     common = dict(num_classes=d.num_classes, voxel_sizes=d.voxel_sizes,
                   caps=d.caps, block_size=d.block_size)
+    seg_extra = dict(diffusion_steps=getattr(cfg, "diffusion_steps", 0))
     enc_map: Dict[str, Callable[[], nn.Module]] = {
         "pointnet_s3dis": lambda: PointNetSegEncoder(
             arch=S3DIS_ARCH, search_chunk=search_chunk),
@@ -87,9 +88,13 @@ def build_model(cfg: TrainConfig, search_chunk: int = 1024) -> nn.Module:
         "ecd_s3dis": lambda: ECDSegModel(
             specs=S3DIS_ECD_SPEC, search_chunk=search_chunk),
         "pgnet_v8": lambda: PGNetHybrid(search_chunk=search_chunk),
+        "gpn_seg": lambda: __import__(
+            "pointcloudsegmentation_tpu.models.gpn", fromlist=["GPNSegModel"]
+        ).GPNSegModel(search_chunk=search_chunk),
     }
     if cfg.model in enc_map:
-        return SegmentationModel(encoder=enc_map[cfg.model](), **common)
+        return SegmentationModel(encoder=enc_map[cfg.model](), **common,
+                                 **seg_extra)
     if cfg.model == "gpn_modelnet40":
         return ClassificationModel(
             encoder=GPNClassModel(search_chunk=search_chunk), **common)
