@@ -15,7 +15,7 @@ Reimplements the reference's ``aug_util.py`` pipeline and the external
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

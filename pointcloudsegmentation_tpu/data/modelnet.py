@@ -9,7 +9,6 @@ reads labels[0]).
 """
 from __future__ import annotations
 
-import os
 import pickle
 from typing import Dict, List, Optional
 

@@ -9,7 +9,6 @@ unannotated and is masked from the loss with remaining labels shifted by -1
 """
 from __future__ import annotations
 
-import os
 import pickle
 from typing import Dict, List, Optional
 

@@ -3,7 +3,7 @@
 an S3DIS-like room-block generator used by bench.py."""
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

@@ -13,9 +13,8 @@ Rebuilds the reference analysis tooling (SURVEY.md §2.9):
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
-import jax
 import numpy as np
 
 

@@ -9,7 +9,7 @@ the dense cloud, argmax (excluding class 0 for Semantic3D submissions).
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, List, Optional, Tuple
+from typing import Callable, Dict, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

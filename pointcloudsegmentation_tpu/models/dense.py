@@ -9,13 +9,12 @@ the main encoder (train_gpn_semantic3d_dense.py:52-65).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops import search
-from ..ops.types import Neighborhood
 from .layers import GrowthMLP
 
 

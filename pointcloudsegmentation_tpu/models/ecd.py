@@ -30,7 +30,7 @@ from ..ops import hierarchy as hier
 from ..ops import neighbors as nb
 from ..ops import search
 from ..ops.types import Neighborhood, Pyramid
-from .layers import Dense, ECDConv, GrowthMLP
+from .layers import Dense, ECDConv
 
 
 def _masked_global_max(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -17,7 +17,7 @@ formulation (reference pointnet_conv, model_pointnet.py:10-24) never exists.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -14,13 +14,12 @@ feature growth, voxel max-pool between stages, and either
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops import hierarchy as hier
-from ..ops import neighbors as nb
 from ..ops import search
 from ..ops.types import Pyramid
 from .layers import Dense, GPNConv

@@ -20,18 +20,17 @@ consecutive convs the same way).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops import hierarchy as hier
-from ..ops import neighbors as nb
 from ..ops import search
-from ..ops.types import Neighborhood, Pyramid
+from ..ops.types import Pyramid
 from .fast_conv import PointNetConvFast
-from .layers import Dense, FCEmbed, GrowthMLP, PointNetConv, PointNetPoolMLP
+from .layers import FCEmbed, GrowthMLP, PointNetConv, PointNetPoolMLP
 
 
 @dataclass(frozen=True)
@@ -191,7 +190,7 @@ class PointNetSegEncoder(nn.Module):
         bands = tuple((mn, mx, k) for (mx, mn, k) in uniq)
         pairs = search.multi_band_neighbors(
             xyz, mask, bands, cand_k=min(self.cand_k, xyz.shape[0]),
-            return_sxyz=True)
+            chunk=min(self.search_chunk, xyz.shape[0]), return_sxyz=True)
         return dict(zip(uniq, pairs))
 
     @nn.compact

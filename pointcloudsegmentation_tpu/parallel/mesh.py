@@ -11,7 +11,7 @@ mesh helper takes whatever ``jax.devices()`` shows.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import numpy as np

@@ -12,14 +12,12 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Dict, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from ..parallel import mesh as mesh_lib
 from ..utils.logging import get_logger
@@ -172,10 +170,24 @@ class Trainer:
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
             params = optax.apply_updates(state.params, updates)
+            # non-finite guard (the reference has no failure handling,
+            # SURVEY §5): a bad batch must not poison the parameters —
+            # keep the previous state and count the skipped step
+            good = jnp.isfinite(loss) & jnp.all(jnp.asarray(
+                [jnp.all(jnp.isfinite(g)) for g in
+                 jax.tree_util.tree_leaves(grads)]))
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(good, new, old),
+                params, state.params)
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(good, new, old)
+                if hasattr(new, "shape") else new,
+                opt_state, state.opt_state)
             state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state)
         else:
             loss, aux = loss_fn(state.params)
+            good = jnp.asarray(True)
 
         logits, labels_eff, valid = aux
         preds = jnp.argmax(logits, axis=-1)
@@ -186,6 +198,7 @@ class Trainer:
             "correct": jnp.sum((preds == labels_eff) & valid),
             "count": jnp.sum(valid),
             "cm": cm,
+            "skipped": (~good).astype(jnp.int32),
         }
         return state, metrics
 

@@ -6,7 +6,7 @@ streaming variant accumulates a confusion matrix across batches (the
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -118,3 +118,26 @@ def test_context_trainer():
     state = trainer.init_state(key, base)
     state, m = trainer.train_step(state, base, key)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_nonfinite_guard():
+    """A batch that produces NaN gradients must not poison the params."""
+    cfg = tiny_cfg()
+    trainer = Trainer(cfg, search_chunk=256)
+    rng = jax.random.PRNGKey(0)
+    batches = list(toy.toy_batches(1, batch_size=1, num_points=512,
+                                   kind="room"))
+    state = trainer.init_state(rng, batches[0])
+    state, m0 = trainer.train_step(state, batches[0], rng)
+    good_params = jax.tree_util.tree_map(np.asarray, state.params)
+
+    bad = dict(batches[0])
+    bad["feats"] = np.full_like(bad["feats"], np.nan)
+    state, m = trainer.train_step(state, bad, rng)
+    assert int(m["skipped"]) == 1
+    for new, old in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(good_params)):
+        np.testing.assert_array_equal(np.asarray(new), old)
+    # and a good batch afterwards still trains
+    state, m2 = trainer.train_step(state, batches[0], rng)
+    assert int(m2["skipped"]) == 0 and np.isfinite(float(m2["loss"]))
