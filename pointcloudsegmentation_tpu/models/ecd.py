@@ -52,6 +52,10 @@ class ECDStageSpec:
     gfc_dims: Tuple[int, ...] = (8, 8, 8)
     final_dim: int = 64
     dxyz_scale: float = 1.0  # voxel_size divisor applied to dxyz
+    # condition the global FC on the level's dxyz instead of raw xyz on
+    # stages >0 (pgnet_model_v3/v4/v5 pass dxyzs[1], model_pgnet.py:168 —
+    # vs the _bug variant and the 2layers models that pass xyzs)
+    use_dxyz: bool = False
 
 
 # graph_conv_pool_edge_simp_2layers (model_pooling.py:268-318), as trained by
@@ -77,6 +81,42 @@ S3DIS_ECD_SPEC = (
 )
 
 
+# pgnet_model_v3/v4/v5 (model_pgnet.py:155-311): the same ecd_stage machine
+# at different widths/depths, radii (0.15, 0.3, 0.5), dxyz scales = S3DIS
+# voxel sizes (0.15, 0.45) + block 3.0; stage 1 conditions on dxyz.
+PGNET_V3_SPEC = (
+    ECDStageSpec(radius=0.15, k=16, gxyz_dim=16, gc_dims=(16, 16),
+                 gfc_dims=(8, 8, 8), final_dim=64, dxyz_scale=0.15),
+    ECDStageSpec(radius=0.3, k=16, gxyz_dim=16, gc_dims=(32,) * 9,
+                 gfc_dims=(32, 32, 32), final_dim=256, dxyz_scale=0.45,
+                 use_dxyz=True),
+    ECDStageSpec(radius=0.5, k=16, gxyz_dim=16, gc_dims=(32,) * 9,
+                 gfc_dims=(32, 32, 32), final_dim=512, dxyz_scale=3.0),
+)
+
+# pgnet_model_v4 (model_pgnet.py:202-263): thin 16-wide but 18-deep stages.
+PGNET_V4_SPEC = (
+    ECDStageSpec(radius=0.15, k=16, gxyz_dim=16, gc_dims=(8,) * 4,
+                 gfc_dims=(8, 8, 8), final_dim=64, dxyz_scale=0.15),
+    ECDStageSpec(radius=0.3, k=16, gxyz_dim=16, gc_dims=(16,) * 18,
+                 gfc_dims=(16,) * 6, final_dim=256, dxyz_scale=0.45,
+                 use_dxyz=True),
+    ECDStageSpec(radius=0.5, k=16, gxyz_dim=16, gc_dims=(16,) * 18,
+                 gfc_dims=(16,) * 6, final_dim=512, dxyz_scale=3.0),
+)
+
+# pgnet_model_v5 (model_pgnet.py:265-311): shallow 1/3/3-conv stages.
+PGNET_V5_SPEC = (
+    ECDStageSpec(radius=0.15, k=16, gxyz_dim=16, gc_dims=(16,),
+                 gfc_dims=(8, 8, 8), final_dim=64, dxyz_scale=0.15),
+    ECDStageSpec(radius=0.3, k=16, gxyz_dim=16, gc_dims=(32, 32, 32),
+                 gfc_dims=(32, 32, 32), final_dim=256, dxyz_scale=0.45,
+                 use_dxyz=True),
+    ECDStageSpec(radius=0.5, k=16, gxyz_dim=16, gc_dims=(32, 32, 32),
+                 gfc_dims=(32, 32, 32), final_dim=512, dxyz_scale=3.0),
+)
+
+
 class ECDStage(nn.Module):
     """One ECD stage (ecd_stage, model_pgnet.py:65-105)."""
 
@@ -87,9 +127,11 @@ class ECDStage(nn.Module):
     def __call__(self, xyz: jnp.ndarray, mask: jnp.ndarray,
                  dxyz: jnp.ndarray, feats: jnp.ndarray):
         sp = self.spec
+        # slack candidate pool (4x k): approx_max_k recall misses must land
+        # in the unused tail, not drop true in-band neighbors
         (nbr, sxyz_raw), = search.multi_band_neighbors(
             xyz, mask, ((0.0, sp.radius, sp.k),),
-            cand_k=min(sp.k, xyz.shape[0]), return_sxyz=True)
+            cand_k=min(4 * sp.k, xyz.shape[0]), return_sxyz=True)
         sxyz = sxyz_raw / sp.radius
 
         g = sp.gxyz_dim
@@ -128,8 +170,10 @@ class ECDSegModel(nn.Module):
             lvl = pyramid.levels[s]
             # stage 0 conditions the global FC on dxyz (offsets inside the
             # voxel); coarser stages use the raw coordinates
-            # (model_pooling.py:273 vs :282 passes xyzs[1] as dxyz)
-            dxyz = pyramid.dxyz[s] if s == 0 else lvl.xyz
+            # (model_pooling.py:273 vs :282 passes xyzs[1] as dxyz) unless
+            # the spec opts into dxyz (pgnet_model_v3/v4/v5 stage 1)
+            use_d = s == 0 or (sp.use_dxyz and s < len(pyramid.dxyz))
+            dxyz = pyramid.dxyz[s] if use_d else lvl.xyz
             fc, lf = ECDStage(sp, self.search_chunk, name=f"stage{s}")(
                 lvl.xyz, lvl.mask, dxyz, cur)
             fcs.append(fc)
@@ -253,9 +297,12 @@ class PGNetHybrid(nn.Module):
             for p in stage.pairs:
                 key = (p.radius, p.k)
                 if key not in cache:
+                    # 4x slack pool so approx_max_k misses can't drop
+                    # true in-band neighbors
                     cache[key], = search.multi_band_neighbors(
                         lvl.xyz, lvl.mask, ((0.0, p.radius, p.k),),
-                        cand_k=min(p.k, lvl.xyz.shape[0]), return_sxyz=True)
+                        cand_k=min(4 * p.k, lvl.xyz.shape[0]),
+                        return_sxyz=True)
                 nbr, sxyz_raw = cache[key]
                 sxyz = sxyz_raw / p.radius
                 prev = feats
@@ -276,6 +323,220 @@ class PGNetHybrid(nn.Module):
         top = len(self.specs) - 1
         # global growth MLP on [xyz ‖ pre-final feats], old-first concat
         # (model_pgnet.py:1109-1115)
+        g = jnp.concatenate([pyramid.levels[top].xyz, prev], axis=-1)
+        for i, d in enumerate(self.global_dims):
+            c = nn.relu(Dense(d, name=f"global_{i}")(g))
+            g = jnp.concatenate([g, c], axis=-1)
+        gfc = Dense(self.global_out, name="global_out")(g)
+
+        up = jnp.concatenate([gfc, stage_feats[top]], axis=-1)
+        for s in range(top - 1, -1, -1):
+            up = jnp.concatenate(
+                [hier.unpool(up, pyramid, s), stage_feats[s]], axis=-1)
+        return up, stage_feats[0]
+
+
+@dataclass(frozen=True)
+class V2StageSpec:
+    """ecd_stage_v2 hyperparameters (model_pgnet.py:455-483)."""
+
+    radius: float
+    k: int
+    # xyz conv: feats_dims, final_feats_dim, diffusion_dims, trans_dims, out
+    xyz_param: Tuple
+    # per feats conv: (embed_dim, diffusion_dims, trans_dims, out_dim)
+    feats_params: Tuple[Tuple, ...]
+    embed_dims: Tuple[int, ...]
+    final_dim: int
+    sxyz_scale: float
+    dxyz_scale: float
+
+
+# pgnet_model_v6 exact params (model_pgnet.py:485-549)
+PGNET_V6_SPEC = (
+    V2StageSpec(radius=0.15, k=16,
+                xyz_param=((8, 8), 16, (8, 8), (8, 8), 32),
+                feats_params=((16, (8, 8), (8, 8), 32),
+                              (16, (8, 8), (8, 8), 32)),
+                embed_dims=(16, 16, 16), final_dim=128,
+                sxyz_scale=3.0 / 0.15, dxyz_scale=3.0 / 0.15),
+    V2StageSpec(radius=0.3, k=16,
+                xyz_param=((16, 16), 32, (16, 16), (16, 16), 32),
+                feats_params=((32, (16, 16), (16, 16), 32),) * 3,
+                embed_dims=(32, 32, 32), final_dim=256,
+                sxyz_scale=3.0 / 0.3, dxyz_scale=3.0 / 0.45),
+    V2StageSpec(radius=0.5, k=16,
+                xyz_param=((16, 16), 32, (16, 16), (16, 16), 32),
+                feats_params=((48, (16, 16), (16, 16), 48),) * 3,
+                embed_dims=(64, 64, 64, 128), final_dim=512,
+                sxyz_scale=3.0 / 0.9, dxyz_scale=3.0 / 3.0),
+)
+
+
+class ECDStageV2(nn.Module):
+    """``ecd_stage_v2`` (model_pgnet.py:455-483): ecd_xyz_v2 opener, chains
+    of ecd_feats_v2 with concat growth, global growth FC on
+    [cfeats ‖ dxyz·scale].  Returns (cfeats, fc_final) — note the reference
+    binds them as (fc, lf) in pgnet_model_v6, i.e. the names are swapped."""
+
+    spec: V2StageSpec
+
+    @nn.compact
+    def __call__(self, xyz: jnp.ndarray, mask: jnp.ndarray,
+                 dxyz: jnp.ndarray, feats: jnp.ndarray):
+        from .variants import ECDFeatsV2, ECDXyzV2
+
+        sp = self.spec
+        (nbr, sxyz_raw), = search.multi_band_neighbors(
+            xyz, mask, ((0.0, sp.radius, sp.k),),
+            cand_k=min(4 * sp.k, xyz.shape[0]), return_sxyz=True)
+        sxyz = sxyz_raw * sp.sxyz_scale
+
+        fd, ffd, dd, td, od = sp.xyz_param
+        xyz_feats = ECDXyzV2(fd, ffd, dd, td, od, name="xyz")(
+            sxyz, nbr, mask)
+        cfeats = jnp.concatenate([feats, xyz_feats], axis=-1)
+        for fi, (ed, fdd, ftd, fod) in enumerate(sp.feats_params):
+            v = ECDFeatsV2(ed, fdd, ftd, fod, name=f"feats_{fi}")(
+                sxyz, cfeats, nbr, mask)
+            cfeats = jnp.concatenate([cfeats, v], axis=-1)
+
+        fc_feats = jnp.concatenate([cfeats, dxyz * sp.dxyz_scale], axis=-1)
+        for i, gfd in enumerate(sp.embed_dims):
+            fc = nn.relu(Dense(gfd, name=f"global_{i}")(fc_feats))
+            fc_feats = jnp.concatenate([fc, fc_feats], axis=-1)
+        fc_final = Dense(sp.final_dim, name="final_global")(fc_feats)
+        return cfeats, fc_final
+
+
+class PGNetV6(nn.Module):
+    """pgnet_model_v6 (model_pgnet.py:485-549): three ecd_stage_v2 stages;
+    between stages, max-pool of the stage's cfeats + a cascade of
+    avg-pooled features (stage 0 pools the RAW input feats, stage 1 pools
+    that average again — :506-507, :521-522); top global max of cfeats2
+    tiled back; unpool-concat decoder.  Returns (upf0, fc_final0)."""
+
+    specs: Tuple[V2StageSpec, ...] = PGNET_V6_SPEC
+    search_chunk: int = 1024
+
+    @nn.compact
+    def __call__(self, pyramid: Pyramid, feats: jnp.ndarray):
+        lvl0, lvl1, lvl2 = pyramid.levels[:3]
+
+        fc0, lf0 = ECDStageV2(self.specs[0], name="stage0")(
+            lvl0.xyz, lvl0.mask, pyramid.dxyz[0], feats)
+        fc0_pool = hier.pool_max(fc0, pyramid, 0)
+        lf0_avg = hier.pool_avg(feats, pyramid, 0)
+        ifeats0 = jnp.concatenate([lf0_avg, fc0_pool], axis=-1)
+
+        fc1, lf1 = ECDStageV2(self.specs[1], name="stage1")(
+            lvl1.xyz, lvl1.mask, pyramid.dxyz[1], ifeats0)
+        fc1_pool = hier.pool_max(fc1, pyramid, 1)
+        lf1_avg = hier.pool_avg(lf0_avg, pyramid, 1)
+        ifeats1 = jnp.concatenate([fc1_pool, lf1_avg], axis=-1)
+
+        fc2, lf2 = ECDStageV2(self.specs[2], name="stage2")(
+            lvl2.xyz, lvl2.mask, lvl2.xyz, ifeats1)
+        gvec = _masked_global_max(fc2, lvl2.mask)
+
+        up2 = jnp.broadcast_to(gvec[None, :], (fc2.shape[0], gvec.shape[0]))
+        up2 = jnp.concatenate([up2, fc2, lf2], axis=-1)
+        up1 = jnp.concatenate([hier.unpool(up2, pyramid, 1), fc1, lf1],
+                              axis=-1)
+        up0 = jnp.concatenate([hier.unpool(up1, pyramid, 0), fc0, lf0],
+                              axis=-1)
+        return up0, lf0
+
+
+@dataclass(frozen=True)
+class V7ConvSpec:
+    """One conv of pgnet_model_v7: 'pn' = pointnet_conv, 'ecd' =
+    ecd_feats_v4."""
+
+    kind: str
+    radius: float
+    k: int
+    dims: Tuple[int, ...]
+    out: int
+
+
+@dataclass(frozen=True)
+class V7StageSpec:
+    convs: Tuple[V7ConvSpec, ...]
+    pool_dims: Optional[Tuple[int, ...]] = None
+    pool_out: int = 0
+
+
+# pgnet_model_v7 exact dims (model_pgnet.py:920-996)
+PGNET_V7_SPEC = (
+    V7StageSpec(convs=(
+        V7ConvSpec("pn", 0.15, 16, (4, 4, 8), 16),
+        V7ConvSpec("ecd", 0.15, 16, (16,), 16),
+        V7ConvSpec("ecd", 0.1, 16, (32,), 32),
+        V7ConvSpec("ecd", 0.1, 16, (32,), 32),
+    ), pool_dims=(16, 16), pool_out=64),
+    V7StageSpec(convs=(
+        V7ConvSpec("pn", 0.6, 16, (8, 8, 16), 32),
+        V7ConvSpec("ecd", 0.6, 16, (32,), 32),
+        V7ConvSpec("ecd", 0.3, 16, (32,), 32),
+        V7ConvSpec("ecd", 0.3, 16, (48,), 48),
+        V7ConvSpec("ecd", 0.3, 16, (64,), 64),
+    ), pool_dims=(32, 32), pool_out=128),
+    V7StageSpec(convs=(
+        V7ConvSpec("ecd", 0.9, 16, (64,), 64),
+        V7ConvSpec("ecd", 0.9, 16, (96,), 96),
+    )),
+)
+
+
+class PGNetV7(nn.Module):
+    """pgnet_model_v7 (model_pgnet.py:920-996): per stage, a pointnet_conv
+    opener then chains of ecd_feats_v4 at two radii with concat growth;
+    pointnet_pool between stages; global growth MLP (old-first) -> 384;
+    unpool decoder.  Returns (lf0, feats_stage0)."""
+
+    specs: Tuple[V7StageSpec, ...] = PGNET_V7_SPEC
+    global_dims: Tuple[int, ...] = (64, 64, 64, 128)
+    global_out: int = 384
+    search_chunk: int = 1024
+
+    @nn.compact
+    def __call__(self, pyramid: Pyramid, feats: jnp.ndarray):
+        from .layers import PointNetConv, PointNetPoolMLP
+        from .variants import ECDFeatsV4
+
+        stage_feats = []
+        conv_idx = 0
+        prev = feats
+        for s, stage in enumerate(self.specs):
+            lvl = pyramid.levels[s]
+            cache: Dict = {}
+            for c in stage.convs:
+                key = (c.radius, c.k)
+                if key not in cache:
+                    cache[key], = search.multi_band_neighbors(
+                        lvl.xyz, lvl.mask, ((0.0, c.radius, c.k),),
+                        cand_k=min(4 * c.k, lvl.xyz.shape[0]),
+                        return_sxyz=True)
+                nbr, sxyz_raw = cache[key]
+                sxyz = sxyz_raw / c.radius
+                prev = feats
+                if c.kind == "pn":
+                    out = PointNetConv(c.dims, c.out,
+                                       name=f"feats{conv_idx}")(
+                        sxyz, feats, nbr)
+                else:
+                    out = ECDFeatsV4(c.dims, c.out, name=f"ecd{conv_idx}")(
+                        sxyz, feats, nbr)
+                feats = jnp.concatenate([feats, out], axis=-1)
+                conv_idx += 1
+            stage_feats.append(feats)
+            if stage.pool_dims is not None:
+                pf = PointNetPoolMLP(stage.pool_dims, stage.pool_out,
+                                     name=f"pool{s}")(pyramid.dxyz[s], feats)
+                feats = hier.pool_max(pf, pyramid, s)
+
+        top = len(self.specs) - 1
         g = jnp.concatenate([pyramid.levels[top].xyz, prev], axis=-1)
         for i, d in enumerate(self.global_dims):
             c = nn.relu(Dense(d, name=f"global_{i}")(g))

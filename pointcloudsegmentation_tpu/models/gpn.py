@@ -63,9 +63,10 @@ class GPNStage(nn.Module):
     def __call__(self, xyz: jnp.ndarray, mask: jnp.ndarray,
                  dxyz: jnp.ndarray, feats: jnp.ndarray):
         sp = self.spec
+        # 4x slack pool: approx_max_k recall misses land in the unused tail
         (nbr, sxyz), = search.multi_band_neighbors(
             xyz, mask, ((0.0, sp.radius, sp.k),),
-            cand_k=min(sp.k, xyz.shape[0]), return_sxyz=True)
+            cand_k=min(4 * sp.k, xyz.shape[0]), return_sxyz=True)
         # raw diffs: lw = exp(sxyz @ pmiu)
 
         xyz_gc, lw, lw_sum = GPNConv(self.m, sp.gxyz_dim, mode="xyz",

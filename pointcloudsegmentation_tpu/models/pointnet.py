@@ -164,6 +164,47 @@ SEMANTIC3D_ARCH = Arch(
 )
 
 
+# pointnet_13_dilate_embed_semantic3d (model_pointnet_semantic3d.py:327-441):
+# the dilated-annulus S3DIS recipe at Semantic3D scale — stage rescales
+# 0.3/1.25/4.0 (every conv in a stage divides sxyz by the same constant),
+# K caps from the reference's avg-count comments (22/20/16/18; 22; 14).
+SEMANTIC3D_DILATE_ARCH = Arch(
+    stages=(
+        StageSpec(rescale=0.3, convs=(
+            ConvSpec(radius=0.3, k=24, embed=32, fc_dims=(8, 8, 16), out=32),
+            ConvSpec(radius=0.4, min_radius=0.3, k=20, embed=32,
+                     fc_dims=(8, 8, 16), out=32),
+            ConvSpec(radius=0.3, min_radius=0.2, k=16, embed=32,
+                     fc_dims=(8, 8, 16), out=32),
+            ConvSpec(radius=0.2, k=18, embed=32, fc_dims=(8, 8, 16), out=32),
+        ), pool_fc_dims=(8, 8, 16), pool_out=32),
+        StageSpec(rescale=1.25, convs=(
+            ConvSpec(radius=1.25, k=22, embed=64, fc_dims=(16, 16, 32),
+                     out=64),
+            ConvSpec(radius=1.6, min_radius=1.25, k=22, embed=64,
+                     fc_dims=(12, 12, 24), out=48),
+            ConvSpec(radius=1.6, min_radius=1.25, k=22, embed=64,
+                     fc_dims=(12, 12, 24), out=48),
+            ConvSpec(radius=1.25, min_radius=0.9, k=22, embed=64,
+                     fc_dims=(12, 12, 24), out=48),
+            ConvSpec(radius=1.25, min_radius=0.9, k=22, embed=64,
+                     fc_dims=(12, 12, 24), out=48),
+            ConvSpec(radius=0.9, k=22, embed=64, fc_dims=(12, 12, 24),
+                     out=48),
+            ConvSpec(radius=0.9, k=22, embed=64, fc_dims=(12, 12, 24),
+                     out=48),
+        ), pool_fc_dims=(16, 16, 32), pool_out=64),
+        StageSpec(rescale=4.0, convs=(
+            ConvSpec(radius=4.0, k=14, embed=128, fc_dims=(32, 32, 32),
+                     out=96),
+            ConvSpec(radius=4.0, k=14, embed=160, fc_dims=(32, 32, 64),
+                     out=128),
+        ), pool_fc_dims=None),
+    ),
+    global_dims=(32, 32, 64), global_out=128,
+)
+
+
 class PointNetSegEncoder(nn.Module):
     """Spec-driven encoder/decoder producing (global_feats, local_feats) at
     level 0, the contract every reference model function satisfies

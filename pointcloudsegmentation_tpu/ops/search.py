@@ -232,6 +232,9 @@ def multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
         nbr_ = Neighborhood(idx=idx, mask=m)
         if return_sxyz:
             sxyz = jnp.einsum("nck,ncd->nkd", hit_f, sxyz_cand)
+            # invalid query rows can still have in-band hits; zero them so
+            # padding slots are exactly 0 (contract: sxyz[~mask] == 0)
+            sxyz = sxyz * m[..., None].astype(sxyz.dtype)
             out.append((nbr_, sxyz))
         else:
             out.append(nbr_)

@@ -1,0 +1,68 @@
+"""Measure on-hardware neighbor recall of the approx-top-k search.
+
+approx_max_k is exact on CPU, so tests/test_search.py can't observe the
+TPU's real recall; this script runs the shared-candidate-pass search in
+both approx and exact mode on the live backend and reports per-band
+recall of (idx, mask) pairs.  Run on the real chip:
+
+    python scripts/verify_search_recall.py
+
+Passes when every band's recall >= 0.99 (the contract the model
+call sites rely on via the 4x-k slack candidate pool).
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax.numpy as jnp
+
+from pointcloudsegmentation_tpu.ops import search
+from pointcloudsegmentation_tpu.utils import cache
+
+cache.enable()
+
+BANDS = ((0.0, 0.15, 16), (0.1, 0.2, 24), (0.15, 0.25, 16))
+
+
+def band_recall(n=8192, cand_k=96, seed=0):
+    rng = np.random.RandomState(seed)
+    xyz = rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32)
+    xyz[:, 2] = rng.uniform(0, 1.5, n)  # room-like: flat-ish
+    mask = np.ones(n, bool)
+    approx = search.multi_band_neighbors(
+        jnp.asarray(xyz), jnp.asarray(mask), BANDS, cand_k=cand_k,
+        use_approx=True, chunk=1024)
+    # exact reference on host (f64 distances, no pool truncation)
+    d2 = ((xyz[:, None, :].astype(np.float64)
+           - xyz[None, :, :].astype(np.float64)) ** 2).sum(-1)
+    out = []
+    for (mn, mx, k), a in zip(BANDS, approx):
+        ai, am = np.asarray(a.idx), np.asarray(a.mask)
+        band = (d2 <= mx * mx) & (d2 >= mn * mn)
+        if mn > 0:
+            np.fill_diagonal(band, False)
+        inter = total = 0
+        for i in range(n):
+            cand = np.where(band[i])[0]
+            want = set(cand[np.argsort(d2[i][cand], kind="stable")][:k])
+            inter += len(set(ai[i][am[i]]) & want)
+            total += len(want)
+        out.append(((mn, mx, k), inter / max(total, 1)))
+    return out
+
+
+def main():
+    ok = True
+    for seed in (0, 1):
+        for band, r in band_recall(seed=seed):
+            status = "OK" if r >= 0.99 else "FAIL"
+            ok &= r >= 0.99
+            print(f"seed={seed} band={band}: recall={r:.4f} {status}")
+    print("PASS" if ok else "FAIL")
+    raise SystemExit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
