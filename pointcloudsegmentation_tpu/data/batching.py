@@ -45,14 +45,22 @@ def pad_block(xyz: np.ndarray, feats: Optional[np.ndarray],
 
 
 def stack_blocks(blocks: List[Dict], batch_size: Optional[int] = None,
-                 rng: Optional[np.random.RandomState] = None) -> Dict:
+                 rng: Optional[np.random.RandomState] = None,
+                 pad_masked: bool = False) -> Dict:
     """Stack padded blocks to a [B, ...] batch; if ``batch_size`` is given and
-    larger, re-sample random blocks to fill (the reference pads the batch to
-    a multiple of num_gpus the same way, provider.py:25-40)."""
+    larger, fill with either re-sampled random blocks (train — the reference
+    pads the batch to a multiple of num_gpus the same way, provider.py:25-40)
+    or, with ``pad_masked=True`` (eval), fully-masked zero blocks so padding
+    never double-counts points in loss/IoU (fixes the reference's wart of
+    duplicating random test blocks)."""
     if batch_size is not None and len(blocks) < batch_size:
-        rng = rng or np.random
-        extra = [blocks[rng.randint(len(blocks))]
-                 for _ in range(batch_size - len(blocks))]
+        if pad_masked:
+            zero = {k: np.zeros_like(v) for k, v in blocks[0].items()}
+            extra = [zero] * (batch_size - len(blocks))
+        else:
+            rng = rng or np.random
+            extra = [blocks[rng.randint(len(blocks))]
+                     for _ in range(batch_size - len(blocks))]
         blocks = list(blocks) + extra
     keys = blocks[0].keys()
     return {k: np.stack([b[k] for b in blocks]) for k in keys}

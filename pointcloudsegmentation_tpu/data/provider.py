@@ -26,13 +26,16 @@ class Provider:
     def __init__(self, file_list: Sequence[str], model: str, batch_size: int,
                  read_fn: Callable[[str, str], List[Dict]], num_points: int,
                  cache_batch_num: int = 2, seed: int = 0,
-                 max_queue: int = 4):
+                 max_queue: int = 4, dense_num_points: int = 0):
         assert model in ("train", "test")
         self.file_list = list(file_list)
         self.model = model
         self.batch_size = batch_size
         self.read_fn = read_fn
         self.num_points = num_points
+        # static capacity for the dense cloud of dense-pipeline blocks
+        # (read_fns yielding dense_xyz/dense_feats); 0 = 4x num_points
+        self.dense_num_points = dense_num_points or 4 * num_points
         self.rng = np.random.RandomState(seed)
         self.max_queue = max_queue
         self._q: queue.Queue = queue.Queue(maxsize=max_queue)
@@ -54,14 +57,25 @@ class Provider:
                     order = self.rng.permutation(len(blocks))
                     blocks = [blocks[i] for i in order]
                 for b in blocks:
-                    pending.append(pad_block(
-                        b["xyz"], b.get("feats"), b.get("labels"),
-                        self.num_points, self.rng))
+                    pb = pad_block(b["xyz"], b.get("feats"),
+                                   b.get("labels"), self.num_points,
+                                   self.rng)
+                    if "dense_xyz" in b:
+                        dp = pad_block(b["dense_xyz"], b["dense_feats"],
+                                       None, self.dense_num_points,
+                                       self.rng)
+                        pb["dense_xyz"] = dp["xyz"]
+                        pb["dense_feats"] = dp["feats"]
+                        pb["dense_mask"] = dp["mask"]
+                    pending.append(pb)
                     if len(pending) == self.batch_size:
                         self._q.put(stack_blocks(pending))
                         pending = []
-            if pending:  # final partial batch: resample to full size
-                self._q.put(stack_blocks(pending, self.batch_size, self.rng))
+            if pending:
+                # final partial batch: train resamples to full size; test
+                # pads with fully-masked blocks so IoU never double-counts
+                self._q.put(stack_blocks(pending, self.batch_size, self.rng,
+                                         pad_masked=self.model == "test"))
         finally:
             self._q.put(_STOP)
 

@@ -103,6 +103,101 @@ def sample_training_blocks(points: np.ndarray, labels: np.ndarray,
     return blocks
 
 
+def compute_offset_z(points: np.ndarray, bin_size: float = 0.1,
+                     z_range: float = 20.0) -> float:
+    """Dominant ground-plane height of a scan: the mode of the z histogram
+    (0.1 m bins over 20 m) plus the minimum z
+    (semantic3d_sample_trainset_offset_z, semantic3d_util.py:10-55)."""
+    zs = points[:, 2].astype(np.float64)
+    min_z = zs.min()
+    hist, _ = np.histogram(zs - min_z, np.arange(0.0, z_range, bin_size))
+    return float(np.argmax(hist) * bin_size + min_z)
+
+
+def write_offset_z_map(path: str, stem_points) -> Dict[str, float]:
+    """Write the per-scan z-offset map consumed by the training-block
+    sampler (cached/semantic3d_train_offsetz.txt,
+    semantic3d_util.py:18-46).  ``stem_points``: iterable of
+    (stem, points [n,>=3])."""
+    out = {}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for stem, pts in stem_points:
+            off = compute_offset_z(np.asarray(pts))
+            out[stem] = off
+            f.write(f"{stem} {off}\n")
+    return out
+
+
+def read_offset_z_map(path: str) -> Dict[str, float]:
+    """semantic3d_read_map_offset_z (semantic3d_util.py:49-58)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            stem, off = line.strip().split(" ")
+            out[stem] = float(off)
+    return out
+
+
+def presample_test_blocks(points: np.ndarray,
+                          block_size: float = 50.0, stride: float = 45.0,
+                          ds_stride: float = 0.03, min_pn: int = 128
+                          ) -> List[np.ndarray]:
+    """Test-set presample: split a scan into overlapping 50 m macro blocks
+    at 0.03 m downsample, NO augmentation
+    (semantic3d_testset_presample_block, semantic3d_util.py:466-481).
+    Returns a list of [n, 7] point arrays (xyz i r g b, absolute coords)."""
+    xyz = np.ascontiguousarray(points[:, :3], np.float32)
+    keep = augment.grid_downsample(xyz, ds_stride)
+    pts = points[keep]
+    rel = pts[:, :3] - pts[:, :3].min(0, keepdims=True)
+    crops = augment.uniform_sample_block(rel, block_size, stride,
+                                         min_pn=min_pn)
+    return [pts[c] for c in crops]
+
+
+def process_test_blocks(points: np.ndarray,
+                        rot_ang: float = 0.0,
+                        block_size: float = 10.0, stride: float = 2.5,
+                        ds_stride: float = 0.06,
+                        covar_nn_size: float = 0.3,
+                        min_pn: int = 128) -> List[Dict]:
+    """Deterministic 10 m eval blocks of one presampled macro block, with an
+    optional z-rotation for the test-time rotation ensemble
+    (semantic3d_process_test_block[_with_rotate],
+    semantic3d_util.py:483-521; rotations k·pi/12, k=1..5 in
+    semantic3d_test_to_block_with_rotate :539-557).  No flips/rescale/
+    jitter; block_min carries absolute placement for re-assembly."""
+    pts = np.asarray(points, np.float32)
+    if rot_ang != 0.0:
+        pts = pts.copy()
+        pts[:, :3] = augment.rotate_z(
+            np.ascontiguousarray(pts[:, :3]), rot_ang)
+    return sample_training_blocks(pts, np.zeros(len(pts), np.int32),
+                                  block_size=block_size, stride=stride,
+                                  ds_stride=ds_stride, min_pn=min_pn,
+                                  rng=np.random.RandomState(0),
+                                  rotate=False,
+                                  covar_nn_size=covar_nn_size)
+
+
+def save_eval_scene(path: str, blocks: List[Dict]) -> None:
+    """Write the columnar per-scene eval layout consumed by
+    scripts/interpolate.py — the analog of the reference's
+    ``test_block_avg`` pkls (interpolate_semantic3d_new.py:68-90:
+    (xyzs, rgbs, covars, lbls, block_mins) lists per scene).  Features
+    (rgb+intensity+covars) ride in the ``rgbs`` column."""
+    import pickle as _pickle
+
+    data = {"xyzs": [b["xyz"] for b in blocks],
+            "rgbs": [b["feats"] for b in blocks],
+            "lbls": [b["labels"] for b in blocks],
+            "block_mins": [b["block_min"] for b in blocks]}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        _pickle.dump(data, f, protocol=_pickle.HIGHEST_PROTOCOL)
+
+
 def context_cloud(points: np.ndarray, ds_size: float = 5.0) -> np.ndarray:
     """Global average-downsampled context cloud (global_avg_downsample,
     semantic3d_context_util.py:110-153): mean xyz+feats per 5 m voxel."""
@@ -139,6 +234,26 @@ def save_blocks(path: str, blocks: List[Dict]) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
         pickle.dump(blocks, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def dense_blocks_from_pkl(model: str, filename: str,
+                          sample_stride: float = 0.25,
+                          rng: Optional[np.random.RandomState] = None
+                          ) -> List[Dict]:
+    """Provider read_fn for the dense pipeline
+    (semantic3d_dense_util.py:10-97, train_gpn_semantic3d_dense.py:52-65):
+    each block yields the DENSE cloud (``dense_*`` fields) plus the
+    grid-downsampled SAMPLED subset that carries labels and flows through
+    the pyramid; the model builds the fixed-K dense->sampled graph on
+    device (models/dense.DenseFeats)."""
+    blocks = blocks_from_pkl(model, filename, rng)
+    out = []
+    for b in blocks:
+        keep = augment.grid_downsample(b["xyz"], sample_stride)
+        out.append({"xyz": b["xyz"][keep], "feats": b["feats"][keep],
+                    "labels": b["labels"][keep],
+                    "dense_xyz": b["xyz"], "dense_feats": b["feats"]})
+    return out
 
 
 def blocks_from_pkl(model: str, filename: str,

@@ -55,6 +55,30 @@ def synthetic_room_block(rng: np.random.RandomState, n: int = 8192,
             "labels": labels[perm].astype(np.int32)}
 
 
+def dense_batches(num_batches: int, batch_size: int, num_points: int = 512,
+                  dense_factor: int = 4, seed: int = 0,
+                  num_classes: int = 9, feat_dim: int = 13
+                  ) -> Iterator[Dict]:
+    """Synthetic dense-pipeline batches: a dense room block plus a sampled
+    subset, mirroring the dense trainer's feed
+    (train_gpn_semantic3d_dense.py:52-65)."""
+    rng = np.random.RandomState(seed)
+    nd = num_points * dense_factor
+    for _ in range(num_batches):
+        blocks = []
+        for _ in range(batch_size):
+            d = synthetic_room_block(rng, nd, num_classes, feat_dim)
+            sel = rng.choice(nd, num_points, replace=False)
+            b = pad_block(d["xyz"][sel], d["feats"][sel], d["labels"][sel],
+                          num_points, rng)
+            dense = pad_block(d["xyz"], d["feats"], None, nd, rng)
+            b["dense_xyz"] = dense["xyz"]
+            b["dense_feats"] = dense["feats"]
+            b["dense_mask"] = dense["mask"]
+            blocks.append(b)
+        yield stack_blocks(blocks)
+
+
 def toy_batches(num_batches: int, batch_size: int, num_points: int = 2048,
                 seed: int = 0, kind: str = "toy",
                 num_classes: int = 13, feat_dim: int = 12) -> Iterator[Dict]:

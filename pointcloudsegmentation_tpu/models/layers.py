@@ -11,7 +11,7 @@ Xavier/Glorot-uniform kernels, zero biases, ReLU activation.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -298,24 +298,58 @@ class GPNConv(nn.Module):
 
 
 class SegClassifier(nn.Module):
-    """The segmentation head used by every main trainer (``classifier_v3``,
-    model.py:762-799): 512 -> concat(local) -> dropout(keep 0.7) -> 256 ->
-    concat(local) -> dropout -> num_classes logits.  1x1 convs become Dense.
+    """The reference's segmentation-head family, one parametric machine
+    (1x1 convs become Dense):
+
+    - default = ``classifier_v3`` (model.py:762-799) == ``classifier_v5``
+      (:801-841, identical structure, only a name-scope arg): 512 ->
+      concat(local) -> dropout(keep 0.7) -> 256 -> concat -> dropout ->
+      logits.  v3 is used by every main trainer; v5 by the refine cascade
+      (train_graph_pool_refine.py:69).
+    - ``dims=(256,128)`` = ``classifier_v4`` (model.py:843-883).
+    - ``dims=(256,128), use_pfeats=False`` = ``classifier_v2`` (:885-918).
+    - ``use_dropout=False`` = the original ``classifier`` (:724-760).
     """
 
     num_classes: int
+    dims: Tuple[int, int] = (512, 256)
+    use_pfeats: bool = True
+    use_dropout: bool = True
     dropout_rate: float = 0.3  # tf.nn.dropout keep_prob 0.7
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray, pfeats: jnp.ndarray,
+    def __call__(self, feats: jnp.ndarray,
+                 pfeats: Optional[jnp.ndarray] = None,
                  train: bool = False) -> jnp.ndarray:
-        x = nn.relu(Dense(512, name="class_mlp1")(feats))
-        x = jnp.concatenate([x, pfeats], axis=-1)
-        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.relu(Dense(256, name="class_mlp2")(x))
-        x = jnp.concatenate([x, pfeats], axis=-1)
-        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        return Dense(self.num_classes, name="class_mlp3")(x)
+        x = feats
+        for i, d in enumerate(self.dims):
+            x = nn.relu(Dense(d, name=f"class_mlp{i + 1}")(x))
+            if self.use_pfeats:
+                assert pfeats is not None
+                x = jnp.concatenate([x, pfeats], axis=-1)
+            if self.use_dropout:
+                x = nn.Dropout(self.dropout_rate,
+                               deterministic=not train)(x)
+        return Dense(self.num_classes,
+                     name=f"class_mlp{len(self.dims) + 1}")(x)
+
+
+def classifier_v2(num_classes: int, **kw) -> "SegClassifier":
+    """``classifier_v2`` (model.py:885-918): 256/128, no local-feat skip."""
+    return SegClassifier(num_classes, dims=(256, 128), use_pfeats=False,
+                         **kw)
+
+
+def classifier_v4(num_classes: int, **kw) -> "SegClassifier":
+    """``classifier_v4`` (model.py:843-883): 256/128 with local-feat skip."""
+    return SegClassifier(num_classes, dims=(256, 128), **kw)
+
+
+def classifier_v5(num_classes: int, **kw) -> "SegClassifier":
+    """``classifier_v5`` (model.py:801-841): structurally identical to v3;
+    kept as a named constructor for refine-cascade parity
+    (train_graph_pool_refine.py:69)."""
+    return SegClassifier(num_classes, **kw)
 
 
 class ProbsDiffusion(nn.Module):

@@ -72,6 +72,30 @@ def unpool(feats: jnp.ndarray, pyramid: Pyramid, level: int) -> jnp.ndarray:
     return seg_ops.segment_unpool(feats, pyramid.seg[level])
 
 
+def build_class_pyramid(xyz: jnp.ndarray, mask: jnp.ndarray,
+                        labels: jnp.ndarray, num_classes: int,
+                        voxel_size: float, cap: int,
+                        block_size: float = 3.0) -> Pyramid:
+    """Two-level pyramid whose voxels are class-pure: the packed voxel key
+    includes the (predicted) class label, so points of different classes
+    never share a segment (``class_pooling``,
+    tf_ops/graph_pooling_layer.py:230-257 backed by
+    ComputePermutationInfoWithClass) — the refine cascade's second
+    hierarchy (train_graph_pool_refine.py:64-65).
+
+    Unlike the reference, points are NOT physically re-permuted, so every
+    per-point array stays aligned across the cascade (the reference trainer
+    passes the un-permuted ``feats`` into the refine net after
+    class_pooling reordered everything else)."""
+    info = vox.voxelize_with_labels(xyz, mask, labels, voxel_size,
+                                    block_size, cap, num_classes)
+    dxyz = vox.diff_to_center(xyz, info.centers, info.seg)
+    dxyz = jnp.where(mask[:, None], dxyz, 0.0)
+    return Pyramid(levels=(Level(xyz=xyz, mask=mask),
+                           Level(xyz=info.centers, mask=info.mask)),
+                   seg=(info.seg,), dxyz=(dxyz,))
+
+
 def average_downsample(xyz: jnp.ndarray, feats: jnp.ndarray,
                        mask: jnp.ndarray, ds_size: float,
                        block_size: float, v_max: int):

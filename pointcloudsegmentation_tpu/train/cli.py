@@ -103,10 +103,35 @@ def _ablate(batch, mode):
     return out
 
 
+def _read_fn_for(cfg, config_name: str):
+    """Per-dataset Provider read_fn — the reference's per-trainer
+    read_fn/fill_feed_dict choices (SURVEY.md §2.7)."""
+    from ..data import modelnet, scannet, semantic3d
+
+    d = cfg.data
+    if cfg.model == "dense_semantic3d":
+        return semantic3d.dense_blocks_from_pkl
+    return {
+        "s3dis": partial(s3dis.blocks_from_room_pkl,
+                         use_covars=d.feat_dim > 3),
+        "scannet": scannet.blocks_from_scene_pkl,
+        "semantic3d": semantic3d.blocks_from_pkl,
+        "modelnet40": modelnet.clouds_from_pkl,
+    }[config_name]
+
+
 def make_batches(cfg, args, split: str, batch_size: int):
     d = cfg.data
     if args.synthetic or not args.data_dir:
         steps = args.steps_per_epoch or 50
+        if cfg.model == "dense_semantic3d":
+            return lambda: (_ablate(b, args.ablate_feats)
+                            for b in toy.dense_batches(
+                                steps, batch_size,
+                                num_points=d.num_points,
+                                num_classes=d.num_classes,
+                                feat_dim=max(d.feat_dim, 1),
+                                seed=0 if split == "train" else 1))
         return lambda: (_ablate(b, args.ablate_feats)
                         for b in toy.toy_batches(
                             steps, batch_size, num_points=d.num_points,
@@ -118,8 +143,7 @@ def make_batches(cfg, args, split: str, batch_size: int):
     files = sorted(glob.glob(os.path.join(data_dir, "*.pkl")))
     if not files:
         raise FileNotFoundError(f"no .pkl files in {data_dir}")
-    read_fn = partial(s3dis.blocks_from_room_pkl,
-                      use_covars=d.feat_dim > 3)
+    read_fn = _read_fn_for(cfg, args.config)
     return lambda: (_ablate(b, args.ablate_feats)
                     for b in Provider(files, split, batch_size, read_fn,
                                       d.num_points))

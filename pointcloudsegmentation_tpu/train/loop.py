@@ -69,6 +69,10 @@ def seg_loss(logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
         valid = valid & (labels != ignore_label)
         if ignore_label == 0:
             labels = jnp.maximum(labels - 1, 0)
+    # corrupt labels outside [0, C) are excluded from the loss and counts
+    # (not clamped toward class C-1); the clip below only makes the
+    # take_along_axis index safe for already-masked rows
+    valid = valid & (labels >= 0) & (labels < logits.shape[-1])
     labels = jnp.clip(labels, 0, logits.shape[-1] - 1)
     ce = -jnp.take_along_axis(jax.nn.log_softmax(logits, axis=-1),
                               labels[..., None], axis=-1)[..., 0]
@@ -117,6 +121,12 @@ class Trainer:
                 jnp.asarray(example_batch["ctx_feats"][0]),
                 jnp.asarray(example_batch["ctx_mask"][0]),
                 jnp.asarray(example_batch["ctx_idx"][0]))
+        elif "dense_xyz" in example_batch:
+            params = init_fn(
+                rng, xyz, feats, mask,
+                jnp.asarray(example_batch["dense_xyz"][0]),
+                jnp.asarray(example_batch["dense_feats"][0]),
+                jnp.asarray(example_batch["dense_mask"][0]))
         else:
             params = init_fn(rng, xyz, feats, mask)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
@@ -139,6 +149,17 @@ class Trainer:
                 batch["ctx_xyz"], batch["ctx_feats"], batch["ctx_mask"],
                 batch["ctx_idx"], rngs)
 
+        if "dense_xyz" in batch:
+            # dense-pipeline models take the dense cloud next to the
+            # sampled points (train_gpn_semantic3d_dense tower_loss)
+            def one_dense(xyz, feats, mask, dx, df, dm, rng):
+                return self.model.apply(params, xyz, feats, mask, dx, df,
+                                        dm, train, rngs={"dropout": rng})
+            return jax.vmap(one_dense)(
+                batch["xyz"], batch["feats"], batch["mask"],
+                batch["dense_xyz"], batch["dense_feats"],
+                batch["dense_mask"], rngs)
+
         def one(xyz, feats, mask, rng):
             return self.model.apply(params, xyz, feats, mask, train,
                                     rngs={"dropout": rng})
@@ -158,6 +179,19 @@ class Trainer:
                 # (train_modelnet40.py: single logits per tower)
                 labels = batch["labels"][:, 0]
                 mask = jnp.any(batch["mask"], axis=1)
+            elif logits.ndim == 4:
+                # refine cascade: [B, 2, N, C] = (refine, base) logits;
+                # loss = refine + base_weight·base
+                # (train_graph_pool_refine.py:81-82, --base_weight :33)
+                labels, mask = batch["labels"], batch["mask"]
+                rloss, labels_eff, valid = seg_loss(
+                    logits[:, 0], labels, mask, self.class_weights,
+                    d.ignore_label)
+                bloss, _, _ = seg_loss(
+                    logits[:, 1], labels, mask, self.class_weights,
+                    d.ignore_label)
+                bw = getattr(self.cfg, "base_loss_weight", 1.0)
+                return rloss + bw * bloss, (logits[:, 0], labels_eff, valid)
             else:
                 labels, mask = batch["labels"], batch["mask"]
             loss, labels_eff, valid = seg_loss(

@@ -10,9 +10,11 @@ import jax
 import jax.numpy as jnp
 
 from ..models import (ClassifierHead, ECDSegModel, GPNClassModel,
-                      PGNetHybrid, PointNetSegEncoder, S3DIS_ARCH,
-                      S3DIS_ECD_SPEC, SCANNET_ARCH, SCANNET_ECD_SPEC,
-                      SEMANTIC3D_ARCH, SegClassifier)
+                      PGNET_V3_SPEC, PGNET_V4_SPEC, PGNET_V5_SPEC,
+                      PGNetHybrid, PGNetV6, PGNetV7, PointNetSegEncoder,
+                      S3DIS_ARCH, S3DIS_ECD_SPEC, SCANNET_ARCH,
+                      SCANNET_ECD_SPEC, SEMANTIC3D_ARCH,
+                      SEMANTIC3D_DILATE_ARCH, SegClassifier)
 from ..ops import hierarchy as hier
 from .config import TrainConfig
 
@@ -52,6 +54,90 @@ class SegmentationModel(nn.Module):
         return logits
 
 
+class RefineCascadeModel(nn.Module):
+    """Two-model refine cascade (train_graph_pool_refine.py:44-84):
+
+    base encoder + classifier_v3 -> base logits; argmax predictions
+    (stop-gradient) build a class-pure 0.75 m voxel pyramid
+    (``class_pooling``); ``SemanticPoolRefine`` consumes the base model's
+    global feats over it; a ``classifier_v5`` head on
+    [refine_global ‖ base_global] with [base_local ‖ refine_local] skip
+    produces the refined logits.  Returns [2, N, C]: (refine, base) — the
+    trainer weights the base loss by ``base_loss_weight``
+    (FLAGS.base_weight, :33).
+
+    Deviation from the reference (documented): the reference feeds the
+    *un-re-permuted* input feats into the refine net after class_pooling
+    physically reordered the points (:65-67) — a feature/point misalignment
+    its own design invites.  Segment-id pyramids never reorder points, so
+    this cascade is alignment-correct by construction; we pass the base
+    global feats (the semantic features the refine net's ``semantic_embed``
+    expects, model_pooling.py:150-151).
+    """
+
+    encoder: nn.Module
+    num_classes: int
+    voxel_sizes: Tuple[float, ...]
+    caps: Tuple[int, ...]
+    block_size: float
+    refine_voxel: float = 0.75
+    refine_cap: int = 0  # 0 -> caps[-1]
+
+    @nn.compact
+    def __call__(self, xyz: jnp.ndarray, feats: jnp.ndarray,
+                 mask: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from ..models import SemanticPoolRefine
+
+        pyr = hier.build_pyramid(xyz, mask, self.voxel_sizes, self.caps,
+                                 self.block_size)
+        gf, lf = self.encoder(pyr, feats)
+        base_logits = SegClassifier(self.num_classes, name="head")(
+            gf, lf, train)
+
+        preds = jax.lax.stop_gradient(
+            jnp.argmax(base_logits, axis=-1).astype(jnp.int32))
+        cap = self.refine_cap or self.caps[-1]
+        cpyr = hier.build_class_pyramid(xyz, mask, preds, self.num_classes,
+                                        self.refine_voxel, cap,
+                                        self.block_size)
+        rgf, rlf = SemanticPoolRefine(name="refine")(
+            cpyr, jax.lax.stop_gradient(gf))
+        rgf = jnp.concatenate([rgf, gf], axis=-1)
+        rlf = jnp.concatenate([lf, rlf], axis=-1)
+        refine_logits = SegClassifier(self.num_classes,
+                                      name="refine_head")(rgf, rlf, train)
+        return jnp.stack([refine_logits, base_logits])
+
+
+class DenseSegModel(nn.Module):
+    """Dense-pipeline model (train_gpn_semantic3d_dense.py:52-65): a
+    ``DenseFeats`` pre-encoder pools a fixed-K dense->sampled neighborhood
+    onto the sampled points, then the standard pyramid + encoder + head run
+    on the (enriched) sampled points.  The batch carries the dense cloud in
+    ``dense_xyz/dense_feats/dense_mask`` next to the sampled
+    ``xyz/feats/mask/labels``."""
+
+    encoder: nn.Module
+    num_classes: int
+    voxel_sizes: Tuple[float, ...]
+    caps: Tuple[int, ...]
+    block_size: float
+
+    @nn.compact
+    def __call__(self, xyz: jnp.ndarray, feats: jnp.ndarray,
+                 mask: jnp.ndarray, dense_xyz: jnp.ndarray,
+                 dense_feats: jnp.ndarray, dense_mask: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        from ..models import DenseFeats
+
+        feats = DenseFeats(name="dense_feats")(
+            dense_xyz, dense_feats, dense_mask, xyz, feats, mask)
+        pyr = hier.build_pyramid(xyz, mask, self.voxel_sizes, self.caps,
+                                 self.block_size)
+        gf, lf = self.encoder(pyr, feats)
+        return SegClassifier(self.num_classes, name="head")(gf, lf, train)
+
+
 class ClassificationModel(nn.Module):
     """Per-cloud pipeline for ModelNet40 (train_modelnet40.py:41-58)."""
 
@@ -83,10 +169,22 @@ def build_model(cfg: TrainConfig, search_chunk: int = 1024) -> nn.Module:
             arch=SCANNET_ARCH, search_chunk=search_chunk),
         "pointnet_semantic3d": lambda: PointNetSegEncoder(
             arch=SEMANTIC3D_ARCH, search_chunk=search_chunk),
+        # pointnet_13_dilate_embed_semantic3d (the 3rd Semantic3D variant,
+        # model_pointnet_semantic3d.py:327-441)
+        "pointnet_semantic3d_dilate": lambda: PointNetSegEncoder(
+            arch=SEMANTIC3D_DILATE_ARCH, search_chunk=search_chunk),
         "ecd_scannet": lambda: ECDSegModel(
             specs=SCANNET_ECD_SPEC, search_chunk=search_chunk),
         "ecd_s3dis": lambda: ECDSegModel(
             specs=S3DIS_ECD_SPEC, search_chunk=search_chunk),
+        "pgnet_v3": lambda: ECDSegModel(
+            specs=PGNET_V3_SPEC, search_chunk=search_chunk),
+        "pgnet_v4": lambda: ECDSegModel(
+            specs=PGNET_V4_SPEC, search_chunk=search_chunk),
+        "pgnet_v5": lambda: ECDSegModel(
+            specs=PGNET_V5_SPEC, search_chunk=search_chunk),
+        "pgnet_v6": lambda: PGNetV6(search_chunk=search_chunk),
+        "pgnet_v7": lambda: PGNetV7(search_chunk=search_chunk),
         "pgnet_v8": lambda: PGNetHybrid(search_chunk=search_chunk),
         "gpn_seg": lambda: __import__(
             "pointcloudsegmentation_tpu.models.gpn", fromlist=["GPNSegModel"]
@@ -95,13 +193,24 @@ def build_model(cfg: TrainConfig, search_chunk: int = 1024) -> nn.Module:
     if cfg.model in enc_map:
         return SegmentationModel(encoder=enc_map[cfg.model](), **common,
                                  **seg_extra)
+    if cfg.model == "dense_semantic3d":
+        # dense pre-encoder + pointnet_13_dilate_embed_semantic3d
+        # (train_gpn_semantic3d_dense.py:55-60)
+        return DenseSegModel(
+            encoder=PointNetSegEncoder(arch=SEMANTIC3D_DILATE_ARCH,
+                                       search_chunk=search_chunk), **common)
+    if cfg.model == "refine_s3dis":
+        # two-model cascade (train_graph_pool_refine.py:44-84); base net =
+        # the 2-stage ECD model over a 1-level 0.3 m pyramid
+        return RefineCascadeModel(
+            encoder=ECDSegModel(specs=S3DIS_ECD_SPEC[:2],
+                                search_chunk=search_chunk), **common)
     if cfg.model == "gpn_modelnet40":
         return ClassificationModel(
             encoder=GPNClassModel(search_chunk=search_chunk), **common)
     if cfg.model == "context_semantic3d":
         # two-resolution fusion (train_gpn_semantic3d_context.py:50-71)
         from ..models import ContextFusionModel
-        from ..models.ecd import S3DIS_ECD_SPEC
 
         return ContextFusionModel(
             encoder=ECDSegModel(specs=S3DIS_ECD_SPEC,
@@ -110,4 +219,4 @@ def build_model(cfg: TrainConfig, search_chunk: int = 1024) -> nn.Module:
             caps=d.caps, block_size=d.block_size)
     raise KeyError(
         f"unknown model '{cfg.model}'; known: "
-        f"{sorted(enc_map) + ['gpn_modelnet40', 'context_semantic3d']}")
+        f"{sorted(enc_map) + ['gpn_modelnet40', 'context_semantic3d', 'refine_s3dis']}")

@@ -60,6 +60,47 @@ def prep_semantic3d_one(out_dir, path):
     return out, len(blocks)
 
 
+def prep_scannet_one(out_dir, augment_geometry, path):
+    """Per-scene pkl of (xyz [n,3], labels [n]) -> cropped no-RGB blocks +
+    per-scene label counts (scannet_data_util.py:19-179)."""
+    from pointcloudsegmentation_tpu.data import scannet
+
+    data = io_util.read_pkl(path)
+    xyz, labels = np.asarray(data[0], np.float32), np.asarray(data[1],
+                                                              np.int32)
+    scene = scannet.prepare_scene(
+        xyz, labels, rng=np.random.RandomState(hash(path) % 2**31),
+        augment_geometry=augment_geometry)
+    out = os.path.join(out_dir, os.path.basename(path))
+    io_util.save_pkl(out, scene)
+    counts = np.bincount(
+        np.concatenate([np.ravel(l) for l in scene["lbls"]]),
+        minlength=scannet.NUM_CLASSES + 1)
+    np.save(out + ".counts.npy", counts)
+    return out, len(scene["xyzs"])
+
+
+def prep_semantic3d_test_one(out_dir, rotations, path):
+    """Test scan -> presampled 50 m macro blocks -> deterministic 10 m eval
+    blocks in the columnar per-scene layout scripts/interpolate.py reads
+    (semantic3d_testset_presample_block + semantic3d_test_to_block
+    [+_with_rotate], semantic3d_util.py:466-557)."""
+    points, _ = semantic3d.read_points_txt(path)
+    stem = os.path.splitext(os.path.basename(path))[0]
+    macro = semantic3d.presample_test_blocks(points)
+    outs = []
+    for ri in range(rotations + 1):
+        rot = np.pi / 12.0 * ri
+        blocks = []
+        for m in macro:
+            blocks.extend(semantic3d.process_test_blocks(m, rot_ang=rot))
+        sub = "test" if ri == 0 else f"test_{ri}"
+        out = os.path.join(out_dir, sub, stem + ".pkl")
+        semantic3d.save_eval_scene(out, blocks)
+        outs.append(out)
+    return outs[0], sum(1 for _ in outs)
+
+
 def prep_modelnet_one(out_dir, path):
     from pointcloudsegmentation_tpu.data import modelnet
 
@@ -73,25 +114,46 @@ def prep_modelnet_one(out_dir, path):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("dataset", choices=["s3dis", "semantic3d", "modelnet40"])
+    p.add_argument("dataset", choices=["s3dis", "scannet", "semantic3d",
+                                       "semantic3d_test", "modelnet40"])
     p.add_argument("--raw-dir", required=True)
     p.add_argument("--out-dir", required=True)
     p.add_argument("--workers", type=int, default=max(1, os.cpu_count() - 2))
     p.add_argument("--augment-geometry", action="store_true",
                    help="offline flips/rescale/rotate (the reference's "
                         "sampled_train with-aug variant)")
+    p.add_argument("--rotations", type=int, default=0,
+                   help="semantic3d_test: also write k*pi/12-rotated eval "
+                        "variants (semantic3d_test_to_block_with_rotate, "
+                        "up to 5)")
+    p.add_argument("--offset-z-map", type=str, default=None,
+                   help="semantic3d: also write the per-scan z-offset map "
+                        "(semantic3d_train_offsetz.txt)")
     args = p.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
 
-    pattern = "*.txt" if args.dataset == "semantic3d" else "*.pkl"
+    pattern = ("*.txt" if args.dataset.startswith("semantic3d")
+               else "*.pkl")
     files = sorted(glob.glob(os.path.join(args.raw_dir, pattern)))
     if not files:
         raise FileNotFoundError(f"no {pattern} in {args.raw_dir}")
     fn = {"s3dis": partial(prep_s3dis_one, args.out_dir,
                            args.augment_geometry),
+          "scannet": partial(prep_scannet_one, args.out_dir,
+                             args.augment_geometry),
           "semantic3d": partial(prep_semantic3d_one, args.out_dir),
+          "semantic3d_test": partial(prep_semantic3d_test_one, args.out_dir,
+                                     args.rotations),
           "modelnet40": partial(prep_modelnet_one, args.out_dir)}[
         args.dataset]
+
+    if args.dataset == "semantic3d" and args.offset_z_map:
+        def _iter():
+            for f in files:
+                pts, _ = semantic3d.read_points_txt(f)
+                yield os.path.splitext(os.path.basename(f))[0], pts
+        semantic3d.write_offset_z_map(args.offset_z_map, _iter())
+        log.info("wrote z-offset map %s", args.offset_z_map)
 
     # multiprocess fan-out (the reference's multiprocessing.Pool pattern,
     # semantic3d_util.py:279-295)
@@ -103,6 +165,19 @@ def main():
         for f in files:
             out, n = fn(f)
             log.info("%s: %d blocks", out, n)
+
+    if args.dataset == "scannet":
+        # aggregate per-scene label counts -> training class weights
+        # (cached/scannet_weights.txt, scannet_data_util.py:160-179)
+        from pointcloudsegmentation_tpu.data import scannet
+
+        counts = sum(np.load(f) for f in
+                     glob.glob(os.path.join(args.out_dir, "*.counts.npy")))
+        # drop the unannotated class 0 (masked from the loss)
+        weights = scannet.class_weights_from_counts(counts[1:])
+        wpath = os.path.join(args.out_dir, "scannet_weights.txt")
+        np.savetxt(wpath, weights)
+        log.info("wrote class weights %s", wpath)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,27 @@ assert len(jax.devices()) == 8, jax.devices()
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Heavy full-Trainer compile tests are opt-in: the default suite stays
+# CI-fast; set PCS_RUN_SLOW=1 (or run scripts/run_slow_tests.sh) to
+# include them.
+slow = pytest.mark.skipif(not os.environ.get("PCS_RUN_SLOW"),
+                          reason="slow compile; set PCS_RUN_SLOW=1")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy end-to-end compile (opt-in via "
+                   "PCS_RUN_SLOW=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("PCS_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow compile; set PCS_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 
 @pytest.fixture
 def rng():

@@ -112,6 +112,30 @@ def test_provider_threading(rng):
         assert b["mask"].sum(axis=1).min() == 50
 
 
+def test_provider_eval_partial_batch_is_mask_padded(rng):
+    """Test-mode final partial batch pads with fully-masked blocks instead
+    of duplicating random blocks (which double-counted points in IoU)."""
+    def read_fn(model, filename):
+        r = np.random.RandomState(0)
+        return [{"xyz": r.randn(50, 3).astype(np.float32),
+                 "feats": r.randn(50, 2).astype(np.float32),
+                 "labels": r.randint(0, 3, 50).astype(np.int32)}
+                for _ in range(3)]  # 3 blocks, batch 2 -> final batch has 1
+
+    p = Provider(["f0"], "test", batch_size=2, read_fn=read_fn,
+                 num_points=64)
+    batches = list(p)
+    assert len(batches) == 2
+    last = batches[-1]
+    assert last["mask"][0].sum() == 50      # the real block
+    assert last["mask"][1].sum() == 0       # masked padding, no duplicates
+    # train mode still resamples (gradient signal on every row)
+    p = Provider(["f0"], "train", batch_size=2, read_fn=read_fn,
+                 num_points=64)
+    last = list(p)[-1]
+    assert last["mask"][1].sum() == 50
+
+
 def test_train_time_augment_preserves_shape(rng):
     xyz = rng.randn(100, 3).astype(np.float32)
     rgb = rng.rand(100, 3).astype(np.float32)

