@@ -25,17 +25,24 @@ SEMANTIC3D_RATIO = 1.0 / (2 * 0.125 * 0.125)
 
 
 def eval_scene_probs(apply_fn: Callable, params, blocks: Iterable[Dict],
-                     rng: Optional[jax.Array] = None
+                     rng: Optional[jax.Array] = None,
+                     extra_keys: Tuple[str, ...] = ()
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-block forward -> accumulated (xyz_global, probs) of all sampled
     points (eval_room_probs, interpolate.py:121-132).
 
-    blocks: dicts with xyz [N,3], feats, mask [N], block_min [3].
-    apply_fn(params, xyz, feats, mask) -> logits [N, C].
+    blocks: dicts with xyz [N,3], feats, mask [N], block_min [3] — plus any
+    per-pipeline extras (ctx_*/dense_*) consumed by ``extra_keys``.
+    apply_fn(params, xyz, feats, mask, *extras) -> logits [N, C] (or
+    [2, N, C] for the refine cascade — the refine row is used, matching
+    train_graph_pool_refine.py's eval of the refined classifier).
     """
     all_xyz, all_probs = [], []
     for b in blocks:
-        logits = apply_fn(params, b["xyz"], b["feats"], b["mask"])
+        extras = [b[k] for k in extra_keys]
+        logits = apply_fn(params, b["xyz"], b["feats"], b["mask"], *extras)
+        if logits.ndim == 3:  # refine cascade: (refine, base) stacked
+            logits = logits[0]
         probs = np.asarray(jax.nn.softmax(logits, axis=-1))
         m = np.asarray(b["mask"])
         xyz = np.asarray(b["xyz"])[m] + np.asarray(

@@ -68,6 +68,90 @@ class TemplateSegModel(nn.Module):
         return up, jnp.concatenate([fcs[0], lfs[0]], axis=-1)
 
 
+class GenericStage(nn.Module):
+    """The reference's pluggable stage skeleton (model_new.py:105-469):
+    radius search -> xyz conv -> concat feats -> per-gc_dim (embed FC ->
+    conv -> concat growth) -> global FC tail on [cfeats ‖ dxyz/voxel].
+    Only the conv primitive differs between the reference's stage fns:
+
+    - ``conv='pointnet'``   = pointnet_stage (model_new.py:105-142)
+    - ``conv='anchor'``     = anchor_conv_stage (:189-230): plain v1
+      anchor conv — exp(−‖sxyz−anchor‖²) weights on raw feats, masked sum,
+      ReLU out FC (tf_ops/graph_layer_new.py:202-222)
+    - ``conv='mlp_anchor'`` = the mlp_anchor flavor of conv_compare.sh
+      (MLPAnchorConv, tf_ops/graph_layer_new.py:388-433)
+    - ``conv='diffusion_anchor'`` =
+      edge_condition_diffusion_anchor_stage (model_new.py:236-300)
+    """
+
+    spec: ECDStageSpec
+    conv: str = "pointnet"
+    anchor_num: int = 16
+    search_chunk: int = 1024
+
+    def _conv(self, dim: int, name: str):
+        from .layers import AnchorConv, PointNetConv
+        from .variants import DiffusionAnchorConv
+        from .ecd import MLPAnchorConv
+
+        half = max(dim // 2, 4)
+        if self.conv == "pointnet":
+            return PointNetConv((half, half), dim, name=name)
+        if self.conv == "mlp_anchor":
+            return MLPAnchorConv((half, half), dim, self.anchor_num,
+                                 name=name)
+        if self.conv == "diffusion_anchor":
+            return DiffusionAnchorConv(
+                2, self.anchor_num, dim, (half, half),
+                embed_dim=max(dim // self.anchor_num, 1), name=name)
+        raise ValueError(self.conv)
+
+    @nn.compact
+    def __call__(self, xyz: jnp.ndarray, mask: jnp.ndarray,
+                 dxyz: jnp.ndarray, feats: jnp.ndarray):
+        from ..ops import search
+        from ..ops import neighbors as nb
+        from ..ops import anchors as anchor_gen
+
+        sp = self.spec
+        (nbr, sxyz_raw), = search.multi_band_neighbors(
+            xyz, mask, ((0.0, sp.radius, sp.k),),
+            cand_k=min(4 * sp.k, xyz.shape[0]),
+            chunk=min(self.search_chunk, xyz.shape[0]), return_sxyz=True)
+        sxyz = sxyz_raw / sp.radius
+
+        def apply_conv(dim, name, f):
+            if self.conv == "anchor":
+                # anchor_conv v1 (graph_layer_new.py:202-222): raw feats
+                # weighted by exp(-d²) to fixed anchors, masked sum
+                edge = nb.gather_neighbors(f, nbr)             # [N,K,F]
+                anchors = self.param(
+                    f"{name}_anchor",
+                    lambda k: jnp.asarray(
+                        anchor_gen.sphere_kmeans_anchors(self.anchor_num).T))
+                d2 = jnp.sum((sxyz[:, :, None, :]
+                              - anchors[None, None, :, :]) ** 2, axis=-1)
+                w = jnp.exp(-d2) * nbr.mask[..., None]         # [N,K,an]
+                agg = jnp.einsum("nka,nkf->naf", w, edge)
+                agg = agg.reshape(agg.shape[0], -1)            # [N,an*F]
+                return nn.relu(Dense(dim, name=f"{name}_fc_out")(agg))
+            return self._conv(dim, name)(sxyz, f, nbr)
+
+        g = sp.gxyz_dim
+        xyz_gc = apply_conv(g, "xyz_gc", xyz)
+        cfeats = jnp.concatenate([xyz_gc, feats], axis=-1)
+        for li, gd in enumerate(sp.gc_dims):
+            h = nn.relu(Dense(gd, name=f"embed_{li}")(cfeats))
+            conv = apply_conv(gd, f"gc_{li}", h)
+            cfeats = jnp.concatenate([cfeats, conv], axis=-1)
+
+        fc_feats = jnp.concatenate([cfeats, dxyz / sp.dxyz_scale], axis=-1)
+        for i, gfd in enumerate(sp.gfc_dims):
+            h = nn.relu(Dense(gfd, name=f"gfc_{i}")(fc_feats))
+            fc_feats = jnp.concatenate([h, fc_feats], axis=-1)
+        return Dense(sp.final_dim, name="final_gfc")(fc_feats), cfeats
+
+
 class SemanticPoolRefine(nn.Module):
     """graph_conv_semantic_pool_v1: embed the first model's semantic feats
     to 256, two ECD stages over a (class-pure) 1-level pyramid, global max

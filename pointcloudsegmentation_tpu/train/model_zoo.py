@@ -190,6 +190,20 @@ def build_model(cfg: TrainConfig, search_chunk: int = 1024) -> nn.Module:
             "pointcloudsegmentation_tpu.models.gpn", fromlist=["GPNSegModel"]
         ).GPNSegModel(search_chunk=search_chunk),
     }
+
+    def _template(conv: str) -> Callable[[], nn.Module]:
+        # model_template with the reference's pluggable stage library
+        # (model_new.py:105-469) — the conv-comparison ablation harness
+        # driven by conv_compare.sh:23-29
+        from ..models.template import GenericStage, TemplateSegModel
+
+        return lambda: TemplateSegModel(
+            make_stage=lambda i, spec: GenericStage(
+                spec, conv=conv, search_chunk=search_chunk,
+                name=f"stage{i}"))
+
+    for _conv in ("pointnet", "anchor", "mlp_anchor", "diffusion_anchor"):
+        enc_map[f"template_{_conv}"] = _template(_conv)
     if cfg.model in enc_map:
         return SegmentationModel(encoder=enc_map[cfg.model](), **common,
                                  **seg_extra)

@@ -27,7 +27,12 @@ from pointcloudsegmentation_tpu.data import toy
 from pointcloudsegmentation_tpu.train import Trainer, s3dis_config
 from pointcloudsegmentation_tpu.utils.logging import get_logger
 
-FLAVORS = ["pointnet_s3dis", "ecd_s3dis", "pgnet_v8"]
+# The reference benches ~8 conv flavors (conv_compare.sh:23-29: pointnet /
+# concat ECD / anchor / mlp_anchor / the pgnet family); each key here maps
+# to the registry's equivalent operator.
+FLAVORS = ["pointnet_s3dis", "ecd_s3dis", "pgnet_v8", "gpn_seg",
+           "template_pointnet", "template_anchor", "template_mlp_anchor",
+           "template_diffusion_anchor"]
 
 
 def run_flavor(model: str, args, log):

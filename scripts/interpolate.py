@@ -44,29 +44,55 @@ from pointcloudsegmentation_tpu.utils.logging import get_logger
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", choices=sorted(CONFIGS), default="s3dis")
+    p.add_argument("--model", type=str, default=None,
+                   help="override the config's model registry key "
+                        "(e.g. refine_s3dis, context_semantic3d, "
+                        "dense_semantic3d)")
     p.add_argument("--checkpoint-dir", type=str, default=None)
     p.add_argument("--scene-dir", type=str, default=None,
                    help="dir of per-scene pkls (sampled blocks + dense pts)")
     p.add_argument("--out-dir", type=str, default="results")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--num-points", type=int, default=None,
+                   help="override block size (small CPU self-checks)")
     p.add_argument("--knn", type=int, default=6)
     p.add_argument("--labels-out", action="store_true",
                    help="write Semantic3D .labels submissions")
     args = p.parse_args()
     log = get_logger("pcs_tpu.interpolate")
 
-    cfg = CONFIGS[args.config]()
+    over = {}
+    if args.model:
+        over["model"] = args.model
+    if args.num_points:
+        over["data_num_points"] = args.num_points
+        over["data_caps"] = (args.num_points // 2, args.num_points // 8)
+    cfg = CONFIGS[args.config](**over)
+    if cfg.model == "gpn_modelnet40":
+        raise SystemExit("classification models have no dense cloud to "
+                         "interpolate onto — use train CLI --eval instead")
     trainer = Trainer(cfg)
     rng = jax.random.PRNGKey(0)
     ratio = SEMANTIC3D_RATIO if args.config == "semantic3d" else S3DIS_RATIO
     os.makedirs(args.out_dir, exist_ok=True)
 
     d = cfg.data
-    apply_fn = jax.jit(lambda params, xyz, feats, mask: trainer.model.apply(
-        params, xyz, feats, mask, False))
+    # apply-signature dispatch per pipeline, mirroring
+    # Trainer._batched_logits (the reference's per-pipeline interpolate_*.py
+    # scripts reuse their trainer's placeholder/fill fns the same way,
+    # interpolate_scannet_new.py:1-45, interpolate_semantic3d_context.py)
+    if cfg.model == "context_semantic3d":
+        extra_keys = ("ctx_xyz", "ctx_feats", "ctx_mask", "ctx_idx")
+    elif cfg.model == "dense_semantic3d":
+        extra_keys = ("dense_xyz", "dense_feats", "dense_mask")
+    else:
+        extra_keys = ()
+    apply_fn = jax.jit(lambda params, *args: trainer.model.apply(
+        params, *args, False))
 
     def run_scene(name, blocks, dense_xyz, dense_labels):
-        sxyz, probs = eval_scene_probs(apply_fn, state.params, blocks)
+        sxyz, probs = eval_scene_probs(apply_fn, state.params, blocks,
+                                       extra_keys=extra_keys)
         qprobs = interpolate_to_dense(sxyz, probs, dense_xyz, k=args.knn,
                                       ratio=ratio)
         if args.labels_out:
@@ -91,6 +117,7 @@ def main():
             pb = pad_block(blk["xyz"], blk["feats"], blk["labels"],
                            d.num_points)
             pb["block_min"] = np.array([3.0 * i, 0, 0], np.float32)
+            add_synthetic_extras(pb, extra_keys, rng_np)
             blocks.append(pb)
         dense_xyz = np.concatenate(
             [b["xyz"][b["mask"]] + b["block_min"] for b in blocks], 0)
@@ -115,6 +142,14 @@ def main():
                            np.asarray(data["lbls"][i], np.int32),
                            d.num_points)
             pb["block_min"] = np.asarray(data["block_mins"][i], np.float32)
+            for k in extra_keys:  # per-pipeline extras stored in the pkl
+                key = k + "s"
+                if key in data:
+                    pb[k] = np.asarray(data[key][i])
+            missing = [k for k in extra_keys if k not in pb]
+            if missing:
+                raise KeyError(f"scene pkl {fn} lacks {missing} required "
+                               f"by model '{cfg.model}'")
             blocks.append(pb)
         if state is None:
             from pointcloudsegmentation_tpu.data.batching import stack_blocks
@@ -130,10 +165,31 @@ def main():
     return results
 
 
+def add_synthetic_extras(pb, extra_keys, rng_np):
+    """Attach synthetic ctx_*/dense_* arrays so the --synthetic self-check
+    covers the context/dense pipelines too."""
+    if "dense_xyz" in extra_keys:
+        jit = rng_np.normal(0, 0.01, pb["xyz"].shape).astype(np.float32)
+        pb["dense_xyz"] = pb["xyz"] + jit
+        pb["dense_feats"] = pb["feats"].copy()
+        pb["dense_mask"] = pb["mask"].copy()
+    if "ctx_xyz" in extra_keys:
+        n = pb["xyz"].shape[0]
+        nc = max(n // 8, 1)
+        sel = rng_np.choice(n, nc, replace=False)
+        pb["ctx_xyz"] = pb["xyz"][sel]
+        pb["ctx_feats"] = pb["feats"][sel]
+        pb["ctx_mask"] = pb["mask"][sel]
+        d2 = ((pb["xyz"][:, None, :] - pb["ctx_xyz"][None, :, :])
+              ** 2).sum(-1)
+        pb["ctx_idx"] = d2.argmin(1).astype(np.int32)
+
+
 def toy_batch(blocks):
     from pointcloudsegmentation_tpu.data.batching import stack_blocks
-    return stack_blocks([{k: b[k] for k in
-                          ("xyz", "feats", "labels", "mask")}
+    keys = ("xyz", "feats", "labels", "mask", "ctx_xyz", "ctx_feats",
+            "ctx_mask", "ctx_idx", "dense_xyz", "dense_feats", "dense_mask")
+    return stack_blocks([{k: b[k] for k in keys if k in b}
                          for b in blocks[:1]])
 
 

@@ -41,14 +41,18 @@ def main():
     state = tr.init_state(rng, batch)
     dev_batch = jax.device_put(batch)
 
-    state, m = tr.train_step(state, dev_batch, rng)
-    jax.block_until_ready(m["loss"])
-    print("full train step:",
-          profiling.time_fn(lambda: tr.train_step(state, dev_batch, rng)[1][
-              "loss"], iters=10))
-    print("step w/ host batch:",
-          profiling.time_fn(lambda: tr.train_step(state, batch, rng)[1][
-              "loss"], iters=10))
+    # train_step donates the state: rebind it every call (a fixed-state
+    # lambda would reuse a donated buffer and abort the TPU program)
+    holder = {"state": state}
+
+    def step(b):
+        holder["state"], m = tr.train_step(holder["state"], b, rng)
+        return m["loss"]
+
+    step(dev_batch)
+    print("full train step:", profiling.time_fn(step, dev_batch, iters=10))
+    print("step w/ host batch:", profiling.time_fn(step, batch, iters=10))
+    state = holder["state"]
 
     # phase breakdown (forward pieces)
     xyz, feats, mask = (jnp.asarray(batch["xyz"][0]),

@@ -1,42 +1,70 @@
 """Checkpoint save/restore round-trip (orbax wrapper; the reference's
 per-epoch Saver + --restore path, train_gpn_scannet_new.py:218-220,278-281).
+
+The manager operates on pytrees — these tests exercise it with a small
+synthetic TrainState (the full-Trainer integration is covered by the slow
+end-to-end trainer tests), keeping the suite CI-fast.
 """
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
+import pytest
 
-from pointcloudsegmentation_tpu.data import toy
-from pointcloudsegmentation_tpu.train import Trainer, s3dis_config
 from pointcloudsegmentation_tpu.train.checkpoint import CheckpointManager
+from pointcloudsegmentation_tpu.train.loop import TrainState
 
 
-def test_checkpoint_roundtrip(tmp_path, rng):
-    cfg = s3dis_config(data_num_points=256, data_caps=(128, 32),
-                       optim_epoch_steps=5)
-    trainer = Trainer(cfg, search_chunk=128)
-    key = jax.random.PRNGKey(0)
-    batches = list(toy.toy_batches(2, batch_size=1, num_points=256,
-                                   kind="room"))
-    state = trainer.init_state(key, batches[0])
-    state, _ = trainer.train_step(state, batches[0], key)
+def small_state(seed: int, step: int = 0) -> TrainState:
+    key = jax.random.PRNGKey(seed)
+    params = {"dense": {"kernel": jax.random.normal(key, (8, 4)),
+                        "bias": jnp.zeros((4,))}}
+    tx = optax.adam(1e-3)
+    return TrainState(step=jnp.asarray(step, jnp.int32), params=params,
+                      opt_state=tx.init(params))
 
+
+def assert_states_equal(a: TrainState, b: TrainState):
+    for x, y in zip(jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_checkpoint_roundtrip(tmp_path):
     mgr = CheckpointManager(str(tmp_path), keep=3)
-    mgr.save(0, state)
-    step0 = int(state.step)
-    state2, _ = trainer.train_step(state, batches[1], key)
-    mgr.save(1, state2)
+    s0 = small_state(0, step=10)
+    s1 = small_state(1, step=20)
+    mgr.save(0, s0)
+    mgr.save(1, s1)
     assert mgr.latest_epoch() == 1
 
-    fresh = trainer.init_state(key, batches[0])
+    fresh = small_state(99)
     restored = mgr.restore(fresh)          # latest
-    r_leaves = jax.tree_util.tree_leaves(restored.params)
-    w_leaves = jax.tree_util.tree_leaves(state2.params)
-    for r, w in zip(r_leaves, w_leaves):
-        np.testing.assert_allclose(np.asarray(r), np.asarray(w))
-    assert int(restored.step) == int(state2.step)
+    assert_states_equal(restored, s1)
+    assert int(restored.step) == 20
 
     older = mgr.restore(fresh, epoch=0)    # explicit epoch
-    assert int(older.step) == step0
+    assert_states_equal(older, s0)
+    assert int(older.step) == 10
+
+
+def test_checkpoint_retention(tmp_path):
+    """max_to_keep drops the oldest epochs (Saver(max_to_keep=...) parity)."""
+    mgr = CheckpointManager(str(tmp_path), keep=2)
+    for e in range(4):
+        mgr.save(e, small_state(e, step=e))
+    assert mgr.latest_epoch() == 3
+    fresh = small_state(99)
+    assert int(mgr.restore(fresh, epoch=3).step) == 3
+    assert int(mgr.restore(fresh, epoch=2).step) == 2
+    with pytest.raises(Exception):
+        mgr.restore(fresh, epoch=0)  # retired by retention
+
+
+def test_restore_empty_dir_raises(tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        mgr.restore(small_state(0))
 
 
 def test_multihost_helpers_single_process():

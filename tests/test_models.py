@@ -182,6 +182,35 @@ def test_conv_variant_tail_forward(rng):
     check(ECDFeatsV4((8,), 8), sxyz, feats, nbr)
 
 
+@pytest.mark.parametrize("conv", ["pointnet", "anchor", "mlp_anchor",
+                                  "diffusion_anchor"])
+def test_template_stage_flavors(rng, conv):
+    """The conv-comparison stage library (model_new.py:105-469): every
+    pluggable stage flavor constructs and forward-passes through the
+    template harness."""
+    from pointcloudsegmentation_tpu.models.ecd import ECDStageSpec
+    from pointcloudsegmentation_tpu.models.template import (GenericStage,
+                                                            TemplateSegModel)
+
+    pyr, mask = small_pyramid(rng)
+    feats = jnp.asarray(rng.randn(N, 8).astype(np.float32))
+    specs = tuple(
+        ECDStageSpec(radius=r, k=8, gxyz_dim=8, gc_dims=(8,),
+                     gfc_dims=(8,), final_dim=16, dxyz_scale=v)
+        for r, v in ((0.3, 0.3), (0.6, 0.9), (1.0, 3.0)))
+    model = TemplateSegModel(
+        make_stage=lambda i, spec: GenericStage(
+            spec, conv=conv, anchor_num=4, search_chunk=128,
+            name=f"stage{i}"),
+        specs=specs)
+    params = model.init(jax.random.PRNGKey(0), pyr, feats)
+    gf, lf = model.apply(params, pyr, feats)
+    assert gf.shape[0] == N and lf.shape[0] == N
+    m = np.asarray(mask)
+    assert np.isfinite(np.asarray(gf)[m]).all()
+    assert np.isfinite(np.asarray(lf)[m]).all()
+
+
 def test_seg_head_variants(rng):
     from pointcloudsegmentation_tpu.models import (classifier_v2,
                                                    classifier_v4,
