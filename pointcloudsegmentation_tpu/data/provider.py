@@ -100,3 +100,26 @@ class Provider:
             except queue.Empty:
                 pass
             self._thread.join(timeout=5)
+
+
+def device_prefetch(batches: Iterator[Dict], depth: int = 2) -> Iterator[Dict]:
+    """Overlap host->device transfer with compute: keep ``depth`` batches
+    in flight on the device (async ``jax.device_put``) ahead of the
+    consumer.  Feeding host numpy directly would bill a ~40 ms H2D copy to
+    every step (measured on the flagship batch through the remote tunnel).
+
+    The reference's Provider stops at host-side prefetch (provider.py:73-89,
+    TF1 feed_dict re-uploads every step); on TPU the transfer is explicit,
+    so the input pipeline owns it.
+    """
+    import collections
+
+    import jax
+
+    buf: collections.deque = collections.deque()
+    for b in batches:
+        buf.append(jax.device_put(b))
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -129,7 +129,7 @@ class ECDStage(nn.Module):
         sp = self.spec
         # slack candidate pool (4x k): approx_max_k recall misses must land
         # in the unused tail, not drop true in-band neighbors
-        (nbr, sxyz_raw), = search.multi_band_neighbors(
+        (nbr, sxyz_raw), = search.band_neighbors_auto(
             xyz, mask, ((0.0, sp.radius, sp.k),),
             cand_k=min(4 * sp.k, xyz.shape[0]), return_sxyz=True)
         sxyz = sxyz_raw / sp.radius
@@ -299,7 +299,7 @@ class PGNetHybrid(nn.Module):
                 if key not in cache:
                     # 4x slack pool so approx_max_k misses can't drop
                     # true in-band neighbors
-                    cache[key], = search.multi_band_neighbors(
+                    cache[key], = search.band_neighbors_auto(
                         lvl.xyz, lvl.mask, ((0.0, p.radius, p.k),),
                         cand_k=min(4 * p.k, lvl.xyz.shape[0]),
                         return_sxyz=True)
@@ -387,7 +387,7 @@ class ECDStageV2(nn.Module):
         from .variants import ECDFeatsV2, ECDXyzV2
 
         sp = self.spec
-        (nbr, sxyz_raw), = search.multi_band_neighbors(
+        (nbr, sxyz_raw), = search.band_neighbors_auto(
             xyz, mask, ((0.0, sp.radius, sp.k),),
             cand_k=min(4 * sp.k, xyz.shape[0]), return_sxyz=True)
         sxyz = sxyz_raw * sp.sxyz_scale
@@ -514,7 +514,7 @@ class PGNetV7(nn.Module):
             for c in stage.convs:
                 key = (c.radius, c.k)
                 if key not in cache:
-                    cache[key], = search.multi_band_neighbors(
+                    cache[key], = search.band_neighbors_auto(
                         lvl.xyz, lvl.mask, ((0.0, c.radius, c.k),),
                         cand_k=min(4 * c.k, lvl.xyz.shape[0]),
                         return_sxyz=True)

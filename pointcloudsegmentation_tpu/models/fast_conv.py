@@ -42,7 +42,7 @@ class PointNetConvFast(nn.Module):
         nbr_proj = jnp.concatenate(
             [Dense(d, use_bias=False, name=f"fc_{i}_nbr")(feats)
              for i, d in enumerate(dims)], axis=-1)
-        nbr_all = jnp.take(nbr_proj, nbr.idx, axis=0)       # [N, K, ΣD]
+        nbr_all = nb.gather_neighbors(nbr_proj, nbr)        # [N, K, ΣD]
         offs = [0]
         for d in dims:
             offs.append(offs[-1] + d)

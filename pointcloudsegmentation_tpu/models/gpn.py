@@ -64,7 +64,7 @@ class GPNStage(nn.Module):
                  dxyz: jnp.ndarray, feats: jnp.ndarray):
         sp = self.spec
         # 4x slack pool: approx_max_k recall misses land in the unused tail
-        (nbr, sxyz), = search.multi_band_neighbors(
+        (nbr, sxyz), = search.band_neighbors_auto(
             xyz, mask, ((0.0, sp.radius, sp.k),),
             cand_k=min(4 * sp.k, xyz.shape[0]), return_sxyz=True)
         # raw diffs: lw = exp(sxyz @ pmiu)

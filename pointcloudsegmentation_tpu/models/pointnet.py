@@ -218,6 +218,13 @@ class PointNetSegEncoder(nn.Module):
     # project-then-gather conv (fast_conv.PointNetConvFast): same function
     # family, avoids materializing the [N,K,2F+3] edge concat in HBM
     fast_conv: bool = True
+    # windowed fast path: REQUIRES Morton-sorted levels (SegmentationModel
+    # sorts level 0; Morton voxel keys sort the rest).  Levels too small or
+    # not tile-aligned fall back to the global path automatically.
+    windowed: bool = True
+    win_tile: int = 256
+    win_window: int = 256
+    ov_slots: int = 12
 
     def _stage_neighborhoods(self, xyz, mask, specs) -> Dict:
         """ALL of a stage's (min_radius, radius, k) searches in one
@@ -229,9 +236,18 @@ class PointNetSegEncoder(nn.Module):
             if s not in uniq:
                 uniq.append(s)
         bands = tuple((mn, mx, k) for (mx, mn, k) in uniq)
-        pairs = search.multi_band_neighbors(
-            xyz, mask, bands, cand_k=min(self.cand_k, xyz.shape[0]),
-            chunk=min(self.search_chunk, xyz.shape[0]), return_sxyz=True)
+        n = xyz.shape[0]
+        if self.windowed and n % self.win_tile == 0 \
+                and n >= 4 * self.win_tile:
+            pairs = search.windowed_multi_band_neighbors(
+                xyz, mask, bands, tile=self.win_tile,
+                window=self.win_window, cand_k=min(self.cand_k, n),
+                ov_slots=self.ov_slots, chunk=min(self.search_chunk, n),
+                return_sxyz=True)
+        else:
+            pairs = search.multi_band_neighbors(
+                xyz, mask, bands, cand_k=min(self.cand_k, n),
+                chunk=min(self.search_chunk, n), return_sxyz=True)
         return dict(zip(uniq, pairs))
 
     @nn.compact

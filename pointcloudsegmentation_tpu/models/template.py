@@ -114,7 +114,7 @@ class GenericStage(nn.Module):
         from ..ops import anchors as anchor_gen
 
         sp = self.spec
-        (nbr, sxyz_raw), = search.multi_band_neighbors(
+        (nbr, sxyz_raw), = search.band_neighbors_auto(
             xyz, mask, ((0.0, sp.radius, sp.k),),
             cand_k=min(4 * sp.k, xyz.shape[0]),
             chunk=min(self.search_chunk, xyz.shape[0]), return_sxyz=True)

@@ -1,6 +1,8 @@
 """Core TPU-native ops: neighborhoods, segments, voxelization, search,
-hierarchy, interpolation, geometry, anchors."""
-from .types import Neighborhood, Level, Pyramid  # noqa: F401
+hierarchy, interpolation, geometry, anchors, Morton sorting."""
+from .types import (Neighborhood, Level, Pyramid,  # noqa: F401
+                    WindowedNeighborhood)
+from . import morton  # noqa: F401
 from . import neighbors  # noqa: F401
 from . import segments  # noqa: F401
 from . import voxelize  # noqa: F401

@@ -14,14 +14,108 @@ fuses the mask arithmetic into the surrounding matmuls.
 """
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
-from .types import Neighborhood
+from .types import Neighborhood, WindowedNeighborhood
 
 _NEG_INF = -1e30
 
 
-def gather_neighbors(feats: jnp.ndarray, nbr: Neighborhood) -> jnp.ndarray:
+def _slab_stack(padded: jnp.ndarray, nt: int, tile: int,
+                slab: int) -> jnp.ndarray:
+    """[N + 2W, F] -> [nt, S, F] overlapping slabs (slab t starts at t*tile
+    in the padded array).  One [nt*S]-row gather; its transpose is a cheap
+    ~nt*S-row scatter-add."""
+    idx = (jnp.arange(nt, dtype=jnp.int32) * tile)[:, None] \
+        + jnp.arange(slab, dtype=jnp.int32)[None, :]
+    return jnp.take(padded, idx, axis=0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _windowed_take(feats, gidx, lidx, window, tile):
+    """take(feats, gidx) whose BACKWARD is a windowed one-hot MXU matmul
+    instead of XLA's row-DMA scatter-add.
+
+    The forward row gather is cheap (~0.5 ms for 262k rows); the generic
+    scatter-add adjoint is 3.6x slower (measured).  Because every index is
+    within its row's slab by construction, the adjoint is exactly
+
+        dslab[t, s, :] = sum_{i in tile t, k} g[i, k, :] * [lidx[i,k] == s]
+
+    — one [T*K, S]^T @ [T*K, F] matmul per tile batched over tiles, plus a
+    cheap ~(nt*S)-row overlap-add of the slabs back into point rows.
+    Measured fwd+bwd ~8x faster than take/scatter-add at K=32, W=256.
+    """
+    return jnp.take(feats, gidx, axis=0)
+
+
+def _windowed_take_fwd(feats, gidx, lidx, window, tile):
+    return jnp.take(feats, gidx, axis=0), (lidx, feats.shape[0])
+
+
+def _windowed_take_bwd(window, tile, res, g):
+    lidx, n = res
+    assert window % tile == 0, (window, tile)
+    s = tile + 2 * window
+    nt = n // tile
+    k = lidx.shape[-1]
+    f = g.shape[-1]
+    oh = jax.nn.one_hot(lidx.reshape(nt, tile, k), s, dtype=g.dtype)
+    dslab = jnp.einsum("ntks,ntkf->nsf", oh, g.reshape(nt, tile, k, f),
+                       preferred_element_type=g.dtype)      # [nt, S, F]
+    # overlap-add slabs back into padded rows.  Slab t covers padded rows
+    # [t*tile, t*tile + s); with s an exact multiple of tile, slab chunk j
+    # (rows [j*tile, (j+1)*tile)) lands at padded rows [(t+j)*tile, ...) —
+    # so the adjoint is s/tile SHIFTED DENSE ADDS, zero scatters.
+    dpad = jnp.zeros((n + 2 * window, f), g.dtype)
+    for j in range(s // tile):
+        chunk = dslab[:, j * tile:(j + 1) * tile, :].reshape(n, f)
+        dpad = dpad + jnp.pad(chunk,
+                              ((j * tile, 2 * window - j * tile), (0, 0)))
+    return dpad[window:window + n], None, None
+
+
+_windowed_take.defvjp(_windowed_take_fwd, _windowed_take_bwd)
+
+
+def _onehot_gather(feats: jnp.ndarray,
+                   wn: WindowedNeighborhood) -> jnp.ndarray:
+    """Fully one-hot windowed gather: BOTH directions are MXU matmuls.
+    Slightly faster at runtime than the take-forward variant but much more
+    expensive to compile (XLA fuses the slab stack + one-hot einsum into a
+    large graph); selected via PCS_ONEHOT_FWD=1."""
+    n, f = feats.shape
+    t, w = wn.tile, wn.window
+    s = t + 2 * w
+    nt = n // t
+    k = wn.lidx.shape[-1]
+    fp = jnp.pad(feats, ((w, w), (0, 0)))
+    slabs = _slab_stack(fp, nt, t, s)                        # [nt, S, F]
+    oh = jax.nn.one_hot(wn.lidx.reshape(nt, t, k), s, dtype=feats.dtype)
+    e = jnp.einsum("ntks,nsf->ntkf", oh, slabs,
+                   preferred_element_type=feats.dtype)
+    return e.reshape(n, k, f)
+
+
+def windowed_gather(feats: jnp.ndarray,
+                    wn: WindowedNeighborhood) -> jnp.ndarray:
+    """Windowed-slot gather: forward is a plain row gather, backward an MXU
+    one-hot matmul (_windowed_take).  [N, F] -> [N, K, F].  Overflow slots
+    are NOT included — see ``gather_neighbors`` for the combined view."""
+    import os
+
+    if os.environ.get("PCS_ONEHOT_FWD", "") == "1":
+        return _onehot_gather(feats, wn)
+    n = feats.shape[0]
+    tile_start = (jnp.arange(n, dtype=jnp.int32) // wn.tile) * wn.tile
+    gidx = jnp.clip(wn.lidx + (tile_start - wn.window)[:, None], 0, n - 1)
+    return _windowed_take(feats, gidx, wn.lidx, wn.window, wn.tile)
+
+
+def gather_neighbors(feats: jnp.ndarray, nbr) -> jnp.ndarray:
     """Point features -> per-slot neighbor features.
 
     Equivalent of ``NeighborScatter(use_diff=False)``
@@ -29,27 +123,38 @@ def gather_neighbors(feats: jnp.ndarray, nbr: Neighborhood) -> jnp.ndarray:
 
     feats: [N, F] -> [N, K, F]; invalid slots hold the center's own features
     (idx is self-padded) — callers must mask before reducing.
+
+    WindowedNeighborhood inputs take the windowed fast path (plain gather
+    forward, one-hot MXU backward) for the windowed slots and a plain row
+    gather for the overflow slots; the result is the [N, K + Ko, F]
+    combined view.  Invalid slots self-pad in both paths (lidx points at
+    the center's own slab position), preserving the ``neighbor_diff == 0
+    on padding`` contract.
     """
+    if isinstance(nbr, WindowedNeighborhood):
+        win = windowed_gather(feats, nbr)
+        ov = jnp.take(feats, nbr.ov_idx, axis=0)
+        return jnp.concatenate([win, ov], axis=1)
     return jnp.take(feats, nbr.idx, axis=0)
 
 
-def neighbor_diff(vals: jnp.ndarray, nbr: Neighborhood) -> jnp.ndarray:
+def neighbor_diff(vals: jnp.ndarray, nbr) -> jnp.ndarray:
     """Per-edge difference ``x_j - x_i`` (NeighborScatter(use_diff=True),
     tf_ops/TFNeighborKernel.cu:255-288).  Invalid slots are exactly zero
     (self minus self), so no extra masking is needed.
 
     vals: [N, F] -> [N, K, F].
     """
-    return jnp.take(vals, nbr.idx, axis=0) - vals[:, None, :]
+    return gather_neighbors(vals, nbr) - vals[:, None, :]
 
 
-def neighbor_concat(feats: jnp.ndarray, nbr: Neighborhood) -> jnp.ndarray:
+def neighbor_concat(feats: jnp.ndarray, nbr) -> jnp.ndarray:
     """Per-edge ``[center ‖ neighbor]`` concat (the reference's
     ``graph_concat_scatter``, tf_ops/graph_conv_layer.py:788-792).
 
     feats: [N, F] -> [N, K, 2F].
     """
-    neigh = jnp.take(feats, nbr.idx, axis=0)
+    neigh = gather_neighbors(feats, nbr)
     cen = jnp.broadcast_to(feats[:, None, :], neigh.shape)
     return jnp.concatenate([cen, neigh], axis=-1)
 

@@ -25,9 +25,66 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .types import Neighborhood
+from .types import Neighborhood, WindowedNeighborhood
 
 _INF = jnp.float32(1e30)
+
+
+def _lex_lt(ed2: jnp.ndarray) -> jnp.ndarray:
+    """[N, ck, ck] strict lexicographic (distance, slot) order matrix."""
+    ck = ed2.shape[-1]
+    lt = (ed2[:, :, None] > ed2[:, None, :]) | (
+        (ed2[:, :, None] == ed2[:, None, :])
+        & (jnp.arange(ck)[None, :, None] > jnp.arange(ck)[None, None, :]))
+    return lt.astype(jnp.float32)
+
+
+def _compact_bands(ed2: jnp.ndarray, valid: jnp.ndarray,
+                   is_self: jnp.ndarray, src_idx: jnp.ndarray,
+                   sxyz_cand, mask: jnp.ndarray, self_pad: jnp.ndarray,
+                   bands, ks, lex_lt_f=None):
+    """Rank-based band compaction of a per-point candidate pool.
+
+    For each band (mn, mx, k-slots), select the k nearest candidates with
+    mn <= dist <= mx via a sort-free rank computation (see
+    multi_band_neighbors docstring for why: element gathers are
+    row-DMA-bound, so ranks are computed as [ck, ck] @ [ck] contractions).
+
+    ed2:      [N, ck] exact squared candidate distances.
+    valid:    [N, ck] candidate validity.
+    is_self:  [N, ck] candidate == center.
+    src_idx:  [N, ck] the index value to emit per slot (global or slab-local).
+    sxyz_cand:[N, ck, 3] candidate offsets (or None).
+    mask:     [N] query validity.
+    self_pad: [N] index value for invalid slots (self, in src_idx's space).
+    ks:       per-band slot counts (parallel to bands).
+
+    Returns list over bands of (idx [N,k], mask [N,k], sxyz [N,k,3] or None).
+    """
+    if lex_lt_f is None:
+        lex_lt_f = _lex_lt(ed2)                     # [N, ck, ck]
+
+    out = []
+    for (mn, mx, _), k in zip(bands, ks):
+        in_band = (ed2 <= mx * mx) & (ed2 >= mn * mn) & valid
+        if mn > 0.0:
+            in_band &= ~is_self
+        band_f = in_band.astype(jnp.float32)
+        rank = jnp.einsum("ncj,nj->nc", lex_lt_f, band_f).astype(jnp.int32)
+        slot = jnp.arange(k, dtype=jnp.int32)
+        hit = in_band[:, :, None] & (rank[:, :, None] == slot[None, None, :])
+        idx = jnp.sum(jnp.where(hit, src_idx[:, :, None], 0), axis=1)
+        count = jnp.sum(in_band.astype(jnp.int32), axis=1, keepdims=True)
+        m = (slot[None, :] < count) & mask[:, None]
+        idx = jnp.where(m, idx, self_pad[:, None]).astype(jnp.int32)
+        if sxyz_cand is not None:
+            sxyz = jnp.einsum("nck,ncd->nkd", hit.astype(jnp.float32),
+                              sxyz_cand)
+            sxyz = sxyz * m[..., None].astype(sxyz.dtype)
+            out.append((idx, m, sxyz))
+        else:
+            out.append((idx, m, None))
+    return out
 
 
 def _pad_to_multiple(n: int, c: int) -> int:
@@ -203,39 +260,135 @@ def multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
     is_self = ci == self_idx[:, None]
 
     # Rank-based compaction: no sort, no take_along_axis (element gathers
-    # are row-DMA-bound and dominated earlier traces).  ``closer[n,c,j]`` is
-    # the strict lexicographic order on (distance, slot); a band's rank of
-    # candidate c counts its in-band closer-than-c candidates — a batched
-    # [ck, ck] @ [ck] contraction on the VPU/MXU.
-    lex_lt = (ed2[:, :, None] > ed2[:, None, :]) | (
-        (ed2[:, :, None] == ed2[:, None, :])
-        & (jnp.arange(cand_k)[None, :, None]
-           > jnp.arange(cand_k)[None, None, :]))
-    lex_lt_f = lex_lt.astype(jnp.float32)           # [N, ck, ck]
-    sxyz_cand = cxyz - xyz[:, None, :]              # [N, ck, 3]
+    # are row-DMA-bound and dominated earlier traces); see _compact_bands.
+    sxyz_cand = (cxyz - xyz[:, None, :]) if return_sxyz else None
+
+    compacted = _compact_bands(ed2, valid_cand, is_self, ci, sxyz_cand,
+                               mask, self_idx, bands,
+                               [k for (_, _, k) in bands])
+    out = []
+    for idx, m, sxyz in compacted:
+        nbr_ = Neighborhood(idx=idx, mask=m)
+        out.append((nbr_, sxyz) if return_sxyz else nbr_)
+    return tuple(out)
+
+
+def band_neighbors_auto(xyz: jnp.ndarray, mask: jnp.ndarray, bands,
+                        cand_k: int = 64, chunk: int = 1024,
+                        return_sxyz: bool = False, windowed: bool = True,
+                        tile: int = 256, window: int = 256,
+                        ov_slots: int = 12, recall_target: float = 0.9):
+    """Dispatch between the windowed fast path and the global path.
+
+    Use from model code: when the level is Morton-sorted (SegmentationModel
+    sorts level 0; Morton voxel keys sort the rest), tile-aligned and large
+    enough to profit, neighborhoods come from
+    ``windowed_multi_band_neighbors``; small or ragged levels fall back to
+    the global ``multi_band_neighbors``.  PCS_DISABLE_WINDOWED=1 is an
+    emergency valve forcing the global path everywhere.
+    """
+    import os
+
+    if os.environ.get("PCS_DISABLE_WINDOWED", "") == "1":
+        windowed = False
+    n = xyz.shape[0]
+    if windowed and n % tile == 0 and n >= 4 * tile:
+        return windowed_multi_band_neighbors(
+            xyz, mask, bands, tile=tile, window=window,
+            cand_k=min(cand_k, n), ov_slots=ov_slots,
+            chunk=min(chunk, n), recall_target=recall_target,
+            return_sxyz=return_sxyz)
+    return multi_band_neighbors(xyz, mask, bands, cand_k=min(cand_k, n),
+                                chunk=min(chunk, n),
+                                return_sxyz=return_sxyz)
+
+
+@partial(jax.jit, static_argnames=("bands", "tile", "window", "cand_k",
+                                   "ov_slots", "chunk", "recall_target",
+                                   "use_approx", "return_sxyz"))
+def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
+                                  bands, tile: int = 256, window: int = 256,
+                                  cand_k: int = 64, ov_slots: int = 12,
+                                  chunk: int = 2048,
+                                  recall_target: float = 0.9,
+                                  use_approx: bool = True,
+                                  return_sxyz: bool = False):
+    """Multi-band fixed-K search for MORTON-SORTED points whose result is
+    split into a windowed fast path + a small overflow path
+    (types.WindowedNeighborhood), making downstream gathers MXU one-hot
+    matmuls (measured ~8x faster fwd+bwd than row-DMA gathers at K=32).
+
+    Requires ``xyz`` sorted by ops.morton.sort_block.  ONE global candidate
+    selection (``lax.approx_max_k``; with ``recall_target<=0.9`` the op runs
+    ~10x faster than its 0.95 default on [2048, 8192] rows, measured), then
+    every band compacts the pool twice: candidates inside the point's slab
+    ``[t*tile - window, t*tile + tile + window)`` fill the k windowed slots
+    (stored slab-local), out-of-slab candidates fill ``ov_slots`` plain
+    global-index slots.  Morton order keeps ~90% of true neighbors in-slab
+    (measured on S3DIS-like blocks), so the expensive path carries only the
+    locality-breaking tail.
+
+    Replaces the same reference searches as multi_band_neighbors
+    (SearchNeighborhood.cu:5-205, SearchNeighborhoodFixed.cu:6-152).
+    """
+    n = xyz.shape[0]
+    assert n % tile == 0, (n, tile)
+    chunk = min(chunk, n)
+    sq = jnp.sum(xyz * xyz, axis=-1)
+    row = jnp.arange(n, dtype=jnp.int32)
+    tile_start = (row // tile) * tile
+
+    n_pad = _pad_to_multiple(n, chunk)
+    q_chunks = jnp.pad(xyz, ((0, n_pad - n), (0, 0))).reshape(
+        n_pad // chunk, chunk, 3)
+    qn_chunks = jnp.pad(sq, (0, n_pad - n)).reshape(-1, chunk)
+
+    def select(args):
+        q, qn = args
+        d2 = qn[:, None] + sq[None, :] - 2.0 * jnp.dot(
+            q, xyz.T, preferred_element_type=jnp.float32)
+        neg = jnp.where(mask[None, :], -d2, -_INF)
+        if use_approx:
+            _, ci = jax.lax.approx_max_k(neg, cand_k,
+                                         recall_target=recall_target)
+        else:
+            _, ci = jax.lax.top_k(neg, cand_k)
+        return ci.astype(jnp.int32)
+
+    ci = jax.lax.map(select, (q_chunks, qn_chunks))
+    ci = ci.reshape(n_pad, cand_k)[:n]
+
+    # exact candidate geometry (one [N, ck]-row gather; float validity —
+    # bool row gathers are ~3x slower on TPU)
+    cand = jnp.take(jnp.concatenate(
+        [xyz, mask.astype(jnp.float32)[:, None]], axis=-1), ci, axis=0)
+    cxyz, valid_f = cand[..., :3], cand[..., 3]
+    sxyz_cand = cxyz - xyz[:, None, :]
+    ed2 = jnp.sum(sxyz_cand * sxyz_cand, axis=-1)
+    valid_cand = valid_f > 0.5
+    is_self = ci == row[:, None]
+
+    # slab membership + slab-local index of each candidate
+    lo = tile_start - window
+    in_slab = (ci >= lo[:, None]) & (ci < (lo + tile + 2 * window)[:, None])
+    lci = jnp.clip(ci - lo[:, None], 0, tile + 2 * window - 1)
+    self_local = (row % tile) + window
+
+    ks = [k for (_, _, k) in bands]
+    sx = sxyz_cand if return_sxyz else None
+    lex = _lex_lt(ed2)
+    wcomp = _compact_bands(ed2, valid_cand & in_slab, is_self, lci, sx,
+                           mask, self_local, bands, ks, lex_lt_f=lex)
+    ocomp = _compact_bands(ed2, valid_cand & ~in_slab, is_self, ci, sx,
+                           mask, row, bands, [min(ov_slots, k) for k in ks],
+                           lex_lt_f=lex)
 
     out = []
-    for (mn, mx, k) in bands:
-        in_band = (ed2 <= mx * mx) & (ed2 >= mn * mn) & valid_cand
-        if mn > 0.0:
-            in_band &= ~is_self
-        band_f = in_band.astype(jnp.float32)
-        rank = jnp.einsum("ncj,nj->nc", lex_lt_f, band_f)  # [N, ck]
-        rank = rank.astype(jnp.int32)
-        slot = jnp.arange(k, dtype=jnp.int32)
-        hit = in_band[:, :, None] & (rank[:, :, None] == slot[None, None, :])
-        hit_f = hit.astype(jnp.float32)
-        idx = jnp.sum(jnp.where(hit, ci[:, :, None], 0), axis=1)
-        count = jnp.sum(in_band.astype(jnp.int32), axis=1, keepdims=True)
-        m = (slot[None, :] < count) & mask[:, None]
-        idx = jnp.where(m, idx, self_idx[:, None]).astype(jnp.int32)
-        nbr_ = Neighborhood(idx=idx, mask=m)
+    for (widx, wm, wsx), (oidx, om, osx) in zip(wcomp, ocomp):
+        wn = WindowedNeighborhood(lidx=widx, wmask=wm, ov_idx=oidx,
+                                  ov_mask=om, window=window, tile=tile)
         if return_sxyz:
-            sxyz = jnp.einsum("nck,ncd->nkd", hit_f, sxyz_cand)
-            # invalid query rows can still have in-band hits; zero them so
-            # padding slots are exactly 0 (contract: sxyz[~mask] == 0)
-            sxyz = sxyz * m[..., None].astype(sxyz.dtype)
-            out.append((nbr_, sxyz))
+            out.append((wn, jnp.concatenate([wsx, osx], axis=1)))
         else:
-            out.append(nbr_)
+            out.append(wn)
     return tuple(out)

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
+from flax import struct
 
 
 class Neighborhood(NamedTuple):
@@ -34,6 +35,63 @@ class Neighborhood(NamedTuple):
     def counts(self) -> jnp.ndarray:
         """Per-point number of valid neighbors, float32 [N]."""
         return jnp.sum(self.mask.astype(jnp.float32), axis=-1)
+
+
+@struct.dataclass
+class WindowedNeighborhood:
+    """Fixed-degree neighborhood split into a *windowed* fast path and a
+    small exact *overflow* path (see ops.search.windowed_multi_band_neighbors).
+
+    Requires the point set to be Morton-sorted (ops.morton.sort_block): for
+    each tile of ``tile`` consecutive points, windowed neighbor slots index
+    into the slab ``[t*tile - window, t*tile + tile + window)`` of the sorted
+    order, so gathers become MXU one-hot matmuls over [tile, slab] blocks
+    (8x faster fwd+bwd than row-DMA gathers, measured).  Neighbors outside
+    the slab are carried as plain global indices in the overflow slots.
+
+    lidx:    [N, K] int32 — slab-local neighbor indices in [0, tile+2*window)
+    wmask:   [N, K] bool
+    ov_idx:  [N, Ko] int32 — global indices of out-of-slab neighbors
+    ov_mask: [N, Ko] bool
+    window/tile: STATIC pytree metadata (Python ints; a jit boundary keeps
+    them static — they select the compiled slab geometry).
+
+    The combined view (``mask``/``k``/``counts``/``global_idx``) presents the
+    K + Ko slots as one neighborhood so masked reductions work unchanged.
+    """
+
+    lidx: jnp.ndarray
+    wmask: jnp.ndarray
+    ov_idx: jnp.ndarray
+    ov_mask: jnp.ndarray
+    window: int = struct.field(pytree_node=False)
+    tile: int = struct.field(pytree_node=False)
+
+    @property
+    def k(self) -> int:
+        return self.lidx.shape[-1] + self.ov_idx.shape[-1]
+
+    @property
+    def mask(self) -> jnp.ndarray:
+        return jnp.concatenate([self.wmask, self.ov_mask], axis=-1)
+
+    def counts(self) -> jnp.ndarray:
+        return jnp.sum(self.mask.astype(jnp.float32), axis=-1)
+
+    @property
+    def global_idx(self) -> jnp.ndarray:
+        """[N, K+Ko] global indices (windowed slots converted from local)."""
+        n = self.lidx.shape[0]
+        tile_start = (jnp.arange(n, dtype=jnp.int32) // self.tile) * self.tile
+        gidx = self.lidx + (tile_start - self.window)[:, None]
+        gidx = jnp.clip(gidx, 0, n - 1)
+        self_i = jnp.arange(n, dtype=jnp.int32)[:, None]
+        gidx = jnp.where(self.wmask, gidx, self_i)
+        return jnp.concatenate([gidx, self.ov_idx], axis=-1)
+
+    def to_neighborhood(self) -> "Neighborhood":
+        """Plain global-index view (for oracle tests / non-fast-path code)."""
+        return Neighborhood(idx=self.global_idx, mask=self.mask)
 
 
 class Level(NamedTuple):

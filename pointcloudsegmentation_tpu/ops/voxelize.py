@@ -54,11 +54,25 @@ def pack_keys(coords: jnp.ndarray, grid: int,
               num_classes: int = 0) -> jnp.ndarray:
     """Pack [N,3] voxel coords (optionally + class label, the
     ``ComputePermutationInfoWithClass`` variant,
-    ComputePermutationInfo.cc:166-252) into a sortable scalar key."""
-    key = (coords[:, 0].astype(jnp.int32) * grid
-           + coords[:, 1]) * grid + coords[:, 2]
+    ComputePermutationInfo.cc:166-252) into a sortable scalar key.
+
+    Keys are MORTON (Z-order) codes, not the reference's lexicographic pack
+    (ComputePermutationInfo.cu:9-24): any consistent key yields the same
+    voxel partition, and Z-order makes the resulting voxel ranks spatially
+    local — the coarser pyramid levels come out Morton-sorted for free,
+    which the windowed search/conv fast path requires
+    (ops.search.windowed_multi_band_neighbors).
+    """
+    from .morton import morton_code
+
+    assert grid <= 1024, grid
+    key = morton_code(coords)
     if labels is not None:
-        key = key * (num_classes + 1) + labels.astype(jnp.int32)
+        # class-pure voxels: same cell, different label -> different key.
+        # int64 (30 morton bits * (C+1) can exceed int32); only the small
+        # refine-cascade pyramid takes this path.
+        key = key.astype(jnp.int64) * (num_classes + 1) \
+            + labels.astype(jnp.int64)
     return key
 
 
@@ -71,7 +85,7 @@ def compute_segments(key: jnp.ndarray, mask: jnp.ndarray,
     mask: [N] bool point validity.
     Returns seg [N] int32 in [0, v_max]; invalid/overflow -> v_max.
     """
-    key = jnp.where(mask, key, _INT32_MAX)
+    key = jnp.where(mask, key, jnp.iinfo(key.dtype).max)
     order = jnp.argsort(key)  # stable
     skey = key[order]
     is_new = jnp.concatenate(

@@ -255,16 +255,45 @@ class Trainer:
         points = 0
         blocks = 0
         log_every = log_every or self.cfg.log_every
+        sizes = []  # (valid points, blocks) counted on host pre-transfer
+
+        def _counted(bs):
+            import numpy as _np
+            for b in bs:
+                sizes.append((int(_np.asarray(b["mask"]).sum()),
+                              b["xyz"].shape[0]))
+                yield b
+
+        if self.mesh is None:
+            # overlap H2D transfer with compute (the mesh path places
+            # per-shard inside shard_batch instead); sizes are counted on
+            # the host so the loop never syncs on a device array
+            from ..data.provider import device_prefetch
+            batches = device_prefetch(_counted(iter(batches)))
+        else:
+            batches = _counted(iter(batches))
+        # device-side accumulation: a per-step np.asarray(cm) would force a
+        # host sync every step and serialize the async dispatch pipeline;
+        # only the periodic log line and the epoch end read back
+        cm_dev = None
+        loss_dev = None
+        nsteps = 0
         for i, batch in enumerate(batches):
             step_fn = self.train_step if train else self.eval_step
             state, m = step_fn(state, batch, rng)
-            acc.update(m["cm"], m["loss"])
-            points += int(batch["mask"].sum())
-            blocks += batch["xyz"].shape[0]
+            cm_dev = m["cm"] if cm_dev is None else cm_dev + m["cm"]
+            loss_dev = m["loss"] if loss_dev is None else loss_dev + m["loss"]
+            nsteps += 1
+            points += sizes[i][0]
+            blocks += sizes[i][1]
             if train and i % log_every == 0:
                 dt = time.time() - t0
                 log.info("step %d loss %.5f | %.1f blocks/s %.0f points/s",
                          i, float(m["loss"]), blocks / dt, points / dt)
+        if nsteps:
+            acc.update(cm_dev, None)
+            acc.loss_sum = float(loss_dev)
+            acc.loss_n = nsteps
         res = acc.result()
         res["points_per_sec"] = points / max(time.time() - t0, 1e-9)
         res["blocks_per_sec"] = blocks / max(time.time() - t0, 1e-9)

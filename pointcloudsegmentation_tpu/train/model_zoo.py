@@ -33,12 +33,24 @@ class SegmentationModel(nn.Module):
     block_size: float
     diffusion_steps: int = 0
     diffusion_radius: float = 0.1
+    # Morton-sort the input points (in-jit, one argsort + three row gathers)
+    # so the encoder's windowed search/conv fast path applies; per-point
+    # logits are mapped back to the input order before returning, so the
+    # sort is invisible to callers.
+    morton_sort: bool = True
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, feats: jnp.ndarray,
                  mask: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         from ..models.layers import ProbsDiffusion
-        from ..ops import search
+        from ..ops import morton, search
+
+        inv = None
+        if self.morton_sort:
+            cell = self.voxel_sizes[0] / 4.0
+            xyz, mask, order, feats = morton.sort_block(
+                xyz, mask, cell, self.block_size, feats)
+            inv = morton.inverse_permutation(order)
 
         pyr = hier.build_pyramid(xyz, mask, self.voxel_sizes, self.caps,
                                  self.block_size)
@@ -51,6 +63,8 @@ class SegmentationModel(nn.Module):
             probs = ProbsDiffusion(self.diffusion_steps,
                                    name="diffusion")(probs, nbr)
             logits = jnp.log(jnp.maximum(probs, 1e-12))
+        if inv is not None:
+            logits = jnp.take(logits, inv, axis=0)
         return logits
 
 

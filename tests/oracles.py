@@ -33,12 +33,25 @@ def np_radius_neighbors(xyz, mask, radius, k, min_radius=0.0):
     return idx, nmask
 
 
+def np_morton3(c):
+    """[N, 3] int coords (< 1024) -> Z-order codes (ops.morton mirror)."""
+    def spread(x):
+        x = x.astype(np.int64) & 0x3FF
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+    return spread(c[:, 0]) | (spread(c[:, 1]) << 1) | (spread(c[:, 2]) << 2)
+
+
 def np_voxel_segments(xyz, mask, voxel_size, block_size):
-    """Voxel id per point, in spatial-key order (first-occupied-key = 0)."""
+    """Voxel id per point, in spatial-key order (first-occupied-key = 0).
+    Keys are Morton codes, matching ops.voxelize.pack_keys."""
     grid = int(np.ceil(block_size / voxel_size)) + 1
     c = np.floor((xyz + block_size / 2) / voxel_size).astype(np.int64)
     c = np.clip(c, 0, grid - 1)
-    key = (c[:, 0] * grid + c[:, 1]) * grid + c[:, 2]
+    key = np_morton3(c)
     uniq = np.unique(key[mask])
     lookup = {k: i for i, k in enumerate(uniq)}
     seg = np.array([lookup[k] if m else len(uniq)
