@@ -64,11 +64,28 @@ def main():
     dt = chains[len(chains) // 2]
 
     pps = valid_points / dt
+
+    # MFU: compiled-step FLOPs (XLA cost analysis) / wall clock / chip peak.
+    # TPU v5e peak: 197 TFLOP/s bf16.  Judges "fast" against the hardware,
+    # not only the estimated V100 baseline (point-cloud convs are gather/
+    # selection-heavy, so single-digit MFU is expected — the metric tracks
+    # how much of the step XLA spends on real matmul work).
+    PEAK_FLOPS = 197e12
+    try:
+        cost = trainer._train_step.lower(
+            state, batches[0], rng).compile().cost_analysis()
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    mfu = flops / dt / PEAK_FLOPS if flops else 0.0
+
     print(json.dumps({
         "metric": "s3dis_train_points_per_sec_per_chip",
         "value": round(pps, 1),
         "unit": "points/s",
         "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 3),
+        "mfu": round(mfu, 4),
+        "flops_per_step": flops,
     }))
 
 

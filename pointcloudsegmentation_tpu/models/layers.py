@@ -99,6 +99,9 @@ class PointNetConv(nn.Module):
     (``pointnet_conv_noconcat``, model_pointnet.py:41-54).
     ``use_feats=False`` gives the xyz-only variant
     (``pointnet_conv_nofeats``, model_pointnet.py:26-39).
+
+    ``edges``/``edge_band``/``edge_rescale``: optional shared EdgeOverflow
+    list (see fast_conv.PointNetConvFast) whose in-band edges join the max.
     """
 
     fc_dims: Sequence[int]
@@ -108,22 +111,54 @@ class PointNetConv(nn.Module):
 
     @nn.compact
     def __call__(self, sxyz: jnp.ndarray, feats: Optional[jnp.ndarray],
-                 nbr: Neighborhood) -> jnp.ndarray:
+                 nbr, edges=None, edge_band=None,
+                 edge_rescale: float = 1.0) -> jnp.ndarray:
+        import jax
+
+        fcs = [Dense(d, name=f"fc_{i}")
+               for i, d in enumerate(self.fc_dims)]
+        fc_out = Dense(self.out_dim, name="fc_out")
+
+        def mlp(x):
+            for fc in fcs:
+                c = nn.relu(fc(x))
+                x = jnp.concatenate([c, x], axis=-1) if self.concat_growth \
+                    else c
+            return fc_out(x)
+
         if self.use_feats:
             assert feats is not None
             x = jnp.concatenate([nb.neighbor_concat(feats, nbr), sxyz],
                                 axis=-1)
         else:
             x = sxyz
-        if self.concat_growth:
-            for i, d in enumerate(self.fc_dims):
-                c = nn.relu(Dense(d, name=f"fc_{i}")(x))
-                x = jnp.concatenate([c, x], axis=-1)
-        else:
-            for i, d in enumerate(self.fc_dims):
-                x = nn.relu(Dense(d, name=f"fc_{i}")(x))
-        x = Dense(self.out_dim, name="fc_out")(x)
-        return nb.masked_max(x, nbr)
+        out = mlp(x)
+        neg = jnp.where(nbr.mask[..., None], out, -1e30)
+        best = jnp.max(neg, axis=1)
+        any_valid = jnp.any(nbr.mask, axis=1)
+
+        if edges is not None:
+            mn, mx = edge_band
+            emask = edges.band_mask(mn, mx)
+            e_sx = (edges.sxyz / edge_rescale).astype(sxyz.dtype)
+            if self.use_feats:
+                xe = jnp.concatenate(
+                    [jnp.take(feats, edges.center, axis=0),
+                     jnp.take(feats, edges.nbr, axis=0), e_sx], axis=-1)
+            else:
+                xe = e_sx
+            oe = mlp(xe)
+            n = (feats if feats is not None else sxyz).shape[0]
+            neg_e = jnp.where(emask[:, None], oe, -1e30)
+            seg = jax.ops.segment_max(neg_e, edges.center, num_segments=n,
+                                      indices_are_sorted=True)
+            best = jnp.maximum(best, jnp.maximum(seg, -1e30).astype(
+                best.dtype))
+            any_e = jax.ops.segment_max(
+                emask.astype(jnp.float32), edges.center, num_segments=n,
+                indices_are_sorted=True) > 0.5
+            any_valid = any_valid | any_e
+        return jnp.where(any_valid[:, None], best, 0.0)
 
 
 class PointNetPoolMLP(nn.Module):

@@ -224,31 +224,49 @@ class PointNetSegEncoder(nn.Module):
     windowed: bool = True
     win_tile: int = 256
     win_window: int = 256
-    ov_slots: int = 12
+    ov_slots: int = 8
+    # out-of-slab neighbor representation: "slots" ([N, Ko] per band —
+    # fastest at Ko=8; measured 253k vs 191k points/s/chip for "edges") or
+    # "edges" (shared EdgeOverflow list — full overflow-pool recall, no
+    # per-point truncation; use when accuracy is at a premium)
+    ov_mode: str = "slots"
 
-    def _stage_neighborhoods(self, xyz, mask, specs) -> Dict:
+    def _stage_neighborhoods(self, xyz, mask, specs,
+                             edge_ratio: int = 3) -> Dict:
         """ALL of a stage's (min_radius, radius, k) searches in one
         candidate-selection pass (search.multi_band_neighbors) — the
         reference runs 4 independent O(N²) brute-force searches per stage
-        (model_pointnet.py:935-953)."""
+        (model_pointnet.py:935-953).
+
+        Returns spec -> (nbr, sxyz, edges-or-None); on the windowed path the
+        out-of-slab neighbors arrive as ONE shared EdgeOverflow list per
+        level (edges is identical across the level's specs)."""
+        import os
+
         uniq = []
         for s in specs:
             if s not in uniq:
                 uniq.append(s)
         bands = tuple((mn, mx, k) for (mx, mn, k) in uniq)
         n = xyz.shape[0]
-        if self.windowed and n % self.win_tile == 0 \
-                and n >= 4 * self.win_tile:
-            pairs = search.windowed_multi_band_neighbors(
+        windowed = self.windowed \
+            and os.environ.get("PCS_DISABLE_WINDOWED", "") != "1"
+        if windowed and n % self.win_tile == 0 and n >= 4 * self.win_tile:
+            res = search.windowed_multi_band_neighbors(
                 xyz, mask, bands, tile=self.win_tile,
                 window=self.win_window, cand_k=min(self.cand_k, n),
                 ov_slots=self.ov_slots, chunk=min(self.search_chunk, n),
-                return_sxyz=True)
-        else:
-            pairs = search.multi_band_neighbors(
-                xyz, mask, bands, cand_k=min(self.cand_k, n),
-                chunk=min(self.search_chunk, n), return_sxyz=True)
-        return dict(zip(uniq, pairs))
+                return_sxyz=True, ov_mode=self.ov_mode,
+                edge_ratio=edge_ratio)
+            if self.ov_mode == "edges":
+                return dict(zip(uniq, res))
+            return {spec: (nbr, sx, None) for spec, (nbr, sx) in
+                    zip(uniq, res)}
+        pairs = search.multi_band_neighbors(
+            xyz, mask, bands, cand_k=min(self.cand_k, n),
+            chunk=min(self.search_chunk, n), return_sxyz=True)
+        return {spec: (nbr, sx, None) for spec, (nbr, sx) in
+                zip(uniq, pairs)}
 
     @nn.compact
     def __call__(self, pyramid: Pyramid, feats: jnp.ndarray):
@@ -264,17 +282,23 @@ class PointNetSegEncoder(nn.Module):
 
         # one shared search pass per level, covering every conv's band;
         # raw sxyz gathered once per distinct neighborhood (the per-conv
-        # xyz gather showed up as ~25 ms/step in device traces)
+        # xyz gather showed up as ~25 ms/step in device traces); overflow
+        # neighbors come as one shared edge list per level
         caches = []
         sxyz_caches = []
+        edge_caches = []
         for s, stage in enumerate(arch.stages):
             specs = [(c.radius, c.min_radius, c.k) for c in stage.convs]
             if s == 1 and arch.pre_stage is not None:
                 specs.append((arch.pre_stage.radius, 0.0, arch.pre_stage.k))
-            pairs = self._stage_neighborhoods(
-                pyramid.levels[s].xyz, pyramid.levels[s].mask, specs)
-            caches.append({spec: p[0] for spec, p in pairs.items()})
-            sxyz_caches.append({spec: p[1] for spec, p in pairs.items()})
+            # deeper levels see proportionally more out-of-slab neighbors
+            # (larger radii vs the same window) — give them more edge room
+            triples = self._stage_neighborhoods(
+                pyramid.levels[s].xyz, pyramid.levels[s].mask, specs,
+                edge_ratio=3 if s == 0 else 5)
+            caches.append({spec: p[0] for spec, p in triples.items()})
+            sxyz_caches.append({spec: p[1] for spec, p in triples.items()})
+            edge_caches.append(next(iter(triples.values()))[2])
 
         # optional Semantic3D pre-stage on level 1, unpooled onto level 0
         if arch.pre_stage is not None:
@@ -282,7 +306,8 @@ class PointNetSegEncoder(nn.Module):
             nbr = caches[1][(ps.radius, 0.0, ps.k)]
             sxyz = sxyz_caches[1][(ps.radius, 0.0, ps.k)] / ps.rescale
             pre = PointNetConv(ps.fc_dims, ps.out, name="feats_pre")(
-                sxyz, avg_feats[1], nbr)
+                sxyz, avg_feats[1], nbr, edges=edge_caches[1],
+                edge_band=(0.0, ps.radius), edge_rescale=ps.rescale)
             pre = hier.unpool(pre, pyramid, 0)
             feats = jnp.concatenate([pre, feats], axis=-1)
 
@@ -297,12 +322,16 @@ class PointNetSegEncoder(nn.Module):
                 prev_feats = feats
                 spec = (c.radius, c.min_radius, c.k)
                 nbr = caches[s][spec]
+                edges = edge_caches[s]
+                band = (c.min_radius, c.radius)
                 rescale = stage.rescale if stage.rescale != 1.0 else c.radius
                 sxyz = sxyz_caches[s][spec] / rescale
                 if c.nofeats:
                     feats = PointNetConv(
                         c.fc_dims, c.out, use_feats=False,
-                        name=f"feats{conv_idx}")(sxyz, None, nbr)
+                        name=f"feats{conv_idx}")(
+                        sxyz, None, nbr, edges=edges, edge_band=band,
+                        edge_rescale=rescale)
                 else:
                     fin = feats
                     if c.embed is not None:
@@ -311,7 +340,9 @@ class PointNetSegEncoder(nn.Module):
                     conv_cls = (PointNetConvFast if self.fast_conv
                                 else PointNetConv)
                     fpn = conv_cls(c.fc_dims, c.out,
-                                   name=f"feats{conv_idx}")(sxyz, fin, nbr)
+                                   name=f"feats{conv_idx}")(
+                        sxyz, fin, nbr, edges=edges, edge_band=band,
+                        edge_rescale=rescale)
                     feats = jnp.concatenate([feats, fpn], axis=-1)
                 conv_idx += 1
             stage_feats.append(feats)

@@ -81,34 +81,60 @@ def _windowed_take_bwd(window, tile, res, g):
 _windowed_take.defvjp(_windowed_take_fwd, _windowed_take_bwd)
 
 
-def _onehot_gather(feats: jnp.ndarray,
-                   wn: WindowedNeighborhood) -> jnp.ndarray:
-    """Fully one-hot windowed gather: BOTH directions are MXU matmuls.
-    Slightly faster at runtime than the take-forward variant but much more
-    expensive to compile (XLA fuses the slab stack + one-hot einsum into a
-    large graph); selected via PCS_ONEHOT_FWD=1."""
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _onehot_take(feats, lidx, window, tile):
+    """Windowed gather where BOTH directions are one-hot MXU matmuls, with
+    an explicit custom VJP so XLA never has to transpose/fuse the slab
+    machinery itself (auto-diff of this graph compiles pathologically).
+
+    Device traces show the in-model take-forward runs at only ~16 GB/s
+    (row-descriptor-bound); the one-hot form moves the same movement onto
+    the MXU at a few percent of the cost.
+    """
+    return _onehot_fwd_impl(feats, lidx, window, tile)
+
+
+def _onehot_fwd_impl(feats, lidx, window, tile):
     n, f = feats.shape
-    t, w = wn.tile, wn.window
-    s = t + 2 * w
-    nt = n // t
-    k = wn.lidx.shape[-1]
-    fp = jnp.pad(feats, ((w, w), (0, 0)))
-    slabs = _slab_stack(fp, nt, t, s)                        # [nt, S, F]
-    oh = jax.nn.one_hot(wn.lidx.reshape(nt, t, k), s, dtype=feats.dtype)
+    s = tile + 2 * window
+    nt = n // tile
+    k = lidx.shape[-1]
+    fp = jnp.pad(feats, ((window, window), (0, 0)))
+    slabs = _slab_stack(fp, nt, tile, s)                     # [nt, S, F]
+    oh = jax.nn.one_hot(lidx.reshape(nt, tile, k), s, dtype=feats.dtype)
     e = jnp.einsum("ntks,nsf->ntkf", oh, slabs,
                    preferred_element_type=feats.dtype)
     return e.reshape(n, k, f)
 
 
+def _onehot_take_fwd(feats, lidx, window, tile):
+    return _onehot_fwd_impl(feats, lidx, window, tile), (lidx,
+                                                         feats.shape[0])
+
+
+_onehot_take.defvjp(_onehot_take_fwd,
+                    lambda window, tile, res, g: (
+                        _windowed_take_bwd(window, tile, res, g)[0], None))
+
+
 def windowed_gather(feats: jnp.ndarray,
                     wn: WindowedNeighborhood) -> jnp.ndarray:
-    """Windowed-slot gather: forward is a plain row gather, backward an MXU
-    one-hot matmul (_windowed_take).  [N, F] -> [N, K, F].  Overflow slots
-    are NOT included — see ``gather_neighbors`` for the combined view."""
+    """Windowed-slot gather [N, F] -> [N, K, F] (overflow slots excluded —
+    see ``gather_neighbors`` for the combined view).
+
+    On TPU both directions run as one-hot MXU matmuls (_onehot_take).  On
+    CPU the one-hot einsums are slower than plain gathers and the interpret
+    overhead dominates, so the forward stays a row gather with the one-hot
+    backward (_windowed_take).  Both variants are bit-exact vs take().
+    PCS_ONEHOT_FWD=0/1 overrides the backend default.
+    """
     import os
 
-    if os.environ.get("PCS_ONEHOT_FWD", "") == "1":
-        return _onehot_gather(feats, wn)
+    flag = os.environ.get("PCS_ONEHOT_FWD", "")
+    use_onehot = (jax.default_backend() == "tpu") if flag == "" \
+        else flag == "1"
+    if use_onehot:
+        return _onehot_take(feats, wn.lidx, wn.window, wn.tile)
     n = feats.shape[0]
     tile_start = (jnp.arange(n, dtype=jnp.int32) // wn.tile) * wn.tile
     gidx = jnp.clip(wn.lidx + (tile_start - wn.window)[:, None], 0, n - 1)

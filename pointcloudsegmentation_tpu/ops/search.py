@@ -25,18 +25,37 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .types import Neighborhood, WindowedNeighborhood
+from .types import EdgeOverflow, Neighborhood, WindowedNeighborhood
 
 _INF = jnp.float32(1e30)
 
 
+def _geom_slab_take(vals: jnp.ndarray, lci: jnp.ndarray, window: int,
+                    tile: int) -> jnp.ndarray:
+    """Slab-local candidate read for Morton-sorted points: one-hot MXU
+    matmul on TPU (narrow-row DMA gathers are descriptor-bound), plain
+    row gather elsewhere.  lci must be pre-clipped to [0, tile+2*window)."""
+    from .neighbors import _onehot_fwd_impl
+
+    n = vals.shape[0]
+    if jax.default_backend() == "tpu":
+        return _onehot_fwd_impl(vals, lci, window, tile)
+    tile_start = (jnp.arange(n, dtype=jnp.int32) // tile) * tile
+    gidx = jnp.clip(lci + (tile_start - window)[:, None], 0, n - 1)
+    return jnp.take(vals, gidx, axis=0)
+
+
 def _lex_lt(ed2: jnp.ndarray) -> jnp.ndarray:
-    """[N, ck, ck] strict lexicographic (distance, slot) order matrix."""
+    """[N, ck, ck] strict lexicographic (distance, slot) order matrix.
+
+    bf16: entries are 0/1 (exact) and the rank contraction sums <= ck <= 256
+    of them with f32 accumulation — exact — while halving the HBM traffic of
+    the largest compaction intermediate."""
     ck = ed2.shape[-1]
     lt = (ed2[:, :, None] > ed2[:, None, :]) | (
         (ed2[:, :, None] == ed2[:, None, :])
         & (jnp.arange(ck)[None, :, None] > jnp.arange(ck)[None, None, :]))
-    return lt.astype(jnp.float32)
+    return lt.astype(jnp.bfloat16)
 
 
 def _compact_bands(ed2: jnp.ndarray, valid: jnp.ndarray,
@@ -64,22 +83,26 @@ def _compact_bands(ed2: jnp.ndarray, valid: jnp.ndarray,
     if lex_lt_f is None:
         lex_lt_f = _lex_lt(ed2)                     # [N, ck, ck]
 
+    src_f = src_idx.astype(jnp.float32)  # idx < 2^24: exact in f32
     out = []
     for (mn, mx, _), k in zip(bands, ks):
         in_band = (ed2 <= mx * mx) & (ed2 >= mn * mn) & valid
         if mn > 0.0:
             in_band &= ~is_self
-        band_f = in_band.astype(jnp.float32)
-        rank = jnp.einsum("ncj,nj->nc", lex_lt_f, band_f).astype(jnp.int32)
+        band_f = in_band.astype(jnp.bfloat16)
+        rank = jnp.einsum("ncj,nj->nc", lex_lt_f, band_f,
+                          preferred_element_type=jnp.float32)
+        rank = rank.astype(jnp.int32)
         slot = jnp.arange(k, dtype=jnp.int32)
         hit = in_band[:, :, None] & (rank[:, :, None] == slot[None, None, :])
-        idx = jnp.sum(jnp.where(hit, src_idx[:, :, None], 0), axis=1)
+        hit_f = hit.astype(jnp.float32)
+        # exactly one nonzero per (n, slot): the contraction IS the select
+        idx = jnp.einsum("nck,nc->nk", hit_f, src_f).astype(jnp.int32)
         count = jnp.sum(in_band.astype(jnp.int32), axis=1, keepdims=True)
         m = (slot[None, :] < count) & mask[:, None]
-        idx = jnp.where(m, idx, self_pad[:, None]).astype(jnp.int32)
+        idx = jnp.where(m, idx, self_pad[:, None])
         if sxyz_cand is not None:
-            sxyz = jnp.einsum("nck,ncd->nkd", hit.astype(jnp.float32),
-                              sxyz_cand)
+            sxyz = jnp.einsum("nck,ncd->nkd", hit_f, sxyz_cand)
             sxyz = sxyz * m[..., None].astype(sxyz.dtype)
             out.append((idx, m, sxyz))
         else:
@@ -277,7 +300,7 @@ def band_neighbors_auto(xyz: jnp.ndarray, mask: jnp.ndarray, bands,
                         cand_k: int = 64, chunk: int = 1024,
                         return_sxyz: bool = False, windowed: bool = True,
                         tile: int = 256, window: int = 256,
-                        ov_slots: int = 12, recall_target: float = 0.9):
+                        ov_slots: int = 8, recall_target: float = 0.9):
     """Dispatch between the windowed fast path and the global path.
 
     Use from model code: when the level is Morton-sorted (SegmentationModel
@@ -305,14 +328,17 @@ def band_neighbors_auto(xyz: jnp.ndarray, mask: jnp.ndarray, bands,
 
 @partial(jax.jit, static_argnames=("bands", "tile", "window", "cand_k",
                                    "ov_slots", "chunk", "recall_target",
-                                   "use_approx", "return_sxyz"))
+                                   "use_approx", "return_sxyz", "ov_mode",
+                                   "edge_ratio"))
 def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
                                   bands, tile: int = 256, window: int = 256,
-                                  cand_k: int = 64, ov_slots: int = 12,
+                                  cand_k: int = 64, ov_slots: int = 8,
                                   chunk: int = 2048,
                                   recall_target: float = 0.9,
                                   use_approx: bool = True,
-                                  return_sxyz: bool = False):
+                                  return_sxyz: bool = False,
+                                  ov_mode: str = "slots",
+                                  edge_ratio: int = 2):
     """Multi-band fixed-K search for MORTON-SORTED points whose result is
     split into a windowed fast path + a small overflow path
     (types.WindowedNeighborhood), making downstream gathers MXU one-hot
@@ -349,39 +375,101 @@ def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
             q, xyz.T, preferred_element_type=jnp.float32)
         neg = jnp.where(mask[None, :], -d2, -_INF)
         if use_approx:
-            _, ci = jax.lax.approx_max_k(neg, cand_k,
+            v, ci = jax.lax.approx_max_k(neg, cand_k,
                                          recall_target=recall_target)
         else:
-            _, ci = jax.lax.top_k(neg, cand_k)
-        return ci.astype(jnp.int32)
+            v, ci = jax.lax.top_k(neg, cand_k)
+        return ci.astype(jnp.int32), v
 
-    ci = jax.lax.map(select, (q_chunks, qn_chunks))
+    ci, appv = jax.lax.map(select, (q_chunks, qn_chunks))
     ci = ci.reshape(n_pad, cand_k)[:n]
-
-    # exact candidate geometry (one [N, ck]-row gather; float validity —
-    # bool row gathers are ~3x slower on TPU)
-    cand = jnp.take(jnp.concatenate(
-        [xyz, mask.astype(jnp.float32)[:, None]], axis=-1), ci, axis=0)
-    cxyz, valid_f = cand[..., :3], cand[..., 3]
-    sxyz_cand = cxyz - xyz[:, None, :]
-    ed2 = jnp.sum(sxyz_cand * sxyz_cand, axis=-1)
-    valid_cand = valid_f > 0.5
-    is_self = ci == row[:, None]
+    appv = appv.reshape(n_pad, cand_k)[:n]
+    sel_valid = appv > -_INF * 0.5
 
     # slab membership + slab-local index of each candidate
     lo = tile_start - window
-    in_slab = (ci >= lo[:, None]) & (ci < (lo + tile + 2 * window)[:, None])
-    lci = jnp.clip(ci - lo[:, None], 0, tile + 2 * window - 1)
+    s = tile + 2 * window
+    in_slab = (ci >= lo[:, None]) & (ci < (lo + s)[:, None])
+    lci = jnp.clip(ci - lo[:, None], 0, s - 1)
     self_local = (row % tile) + window
 
+    # exact in-slab geometry WITHOUT a global row gather: slab-local reads
+    # (one-hot MXU matmuls on TPU; device traces showed the [N, ck, 4]
+    # candidate row gather alone cost ~5 ms/step/level).  Out-of-slab rows
+    # read garbage (clipped lci) and are masked.
+    xyzm = jnp.concatenate([xyz, mask.astype(jnp.float32)[:, None]],
+                           axis=-1)
+    cand_win = _geom_slab_take(xyzm, lci, window, tile)      # [N, ck, 4]
+    sxyz_win = cand_win[..., :3] - xyz[:, None, :]
+    ed2_win = jnp.sum(sxyz_win * sxyz_win, axis=-1)
+    valid_win = (cand_win[..., 3] > 0.5) & in_slab & sel_valid
+    is_self_win = lci == self_local[:, None]
+
+    # shared overflow pool: the ov_pool nearest out-of-slab candidates,
+    # ranked by the selection scores (selection-grade accuracy suffices for
+    # pool membership; band membership below uses exact distances)
+    ov_pool = min(2 * ov_slots, cand_k) if ov_mode == "slots" \
+        else min(16, cand_k)
+    (opool_idx, opool_mask, _), = _compact_bands(
+        -appv, ~in_slab & sel_valid, jnp.zeros_like(in_slab), ci, None,
+        mask, row, ((0.0, 1e15, ov_pool),), [ov_pool])
+    ocand = jnp.take(xyzm, opool_idx, axis=0)                # [N, op, 4]
+    sxyz_ov = ocand[..., :3] - xyz[:, None, :]
+    ed2_ov = jnp.sum(sxyz_ov * sxyz_ov, axis=-1)
+    valid_ov = (ocand[..., 3] > 0.5) & opool_mask
+
     ks = [k for (_, _, k) in bands]
-    sx = sxyz_cand if return_sxyz else None
-    lex = _lex_lt(ed2)
-    wcomp = _compact_bands(ed2, valid_cand & in_slab, is_self, lci, sx,
-                           mask, self_local, bands, ks, lex_lt_f=lex)
-    ocomp = _compact_bands(ed2, valid_cand & ~in_slab, is_self, ci, sx,
-                           mask, row, bands, [min(ov_slots, k) for k in ks],
-                           lex_lt_f=lex)
+    wcomp = _compact_bands(ed2_win, valid_win, is_self_win, lci,
+                           sxyz_win if return_sxyz else None,
+                           mask, self_local, bands, ks)
+
+    if ov_mode == "edges":
+        # ONE shared-capacity edge list for the level (see types.EdgeOverflow).
+        # Built RANK-MAJOR (every point's rank-0 pool entry before any
+        # rank-1 entry): when demand exceeds the cap, the FARTHEST-rank
+        # edges drop globally — no spatial bias toward low Morton indices —
+        # then re-sorted by center so segment reductions run sorted.
+        max_mx = max(mx for (_, mx, _) in bands)
+        min_mn = min(mn for (mn, _, _) in bands)
+        keep = valid_ov & (ed2_ov <= max_mx * max_mx) \
+            & (ed2_ov >= min_mn * min_mn)                    # [N, op]
+        e_cap = edge_ratio * n
+        payload = jnp.concatenate([
+            jnp.broadcast_to(row[:, None], (n, ov_pool)
+                             ).reshape(n, ov_pool, 1).astype(jnp.float32),
+            opool_idx[..., None].astype(jnp.float32),
+            ed2_ov[..., None],
+            sxyz_ov], axis=-1)                               # [N, op, 6]
+        kf = keep.T.reshape(-1)                              # rank-major
+        payT = payload.transpose(1, 0, 2).reshape(-1, 6)
+        pos = jnp.cumsum(kf.astype(jnp.int32)) - 1
+        slot_pos = jnp.where(kf & (pos < e_cap), pos, e_cap)
+        # sentinel center = n on unfilled rows -> they sort to the end
+        init = jnp.concatenate([jnp.full((e_cap, 1), float(n), jnp.float32),
+                                jnp.zeros((e_cap, 5), jnp.float32)], axis=-1)
+        buf = init.at[slot_pos].set(payT, mode="drop")
+        order = jnp.argsort(buf[:, 0], stable=True)
+        buf = jnp.take(buf, order, axis=0)
+        e_count = jnp.minimum(jnp.sum(kf.astype(jnp.int32)), e_cap)
+        e_mask = jnp.arange(e_cap, dtype=jnp.int32) < e_count
+        edges = EdgeOverflow(
+            center=jnp.where(e_mask, buf[:, 0].astype(jnp.int32), n - 1),
+            nbr=buf[:, 1].astype(jnp.int32),
+            d2=buf[:, 2],
+            sxyz=buf[:, 3:6],
+            mask=e_mask)
+        out = []
+        ko0 = jnp.zeros((n, 0), jnp.int32)
+        km0 = jnp.zeros((n, 0), bool)
+        for widx, wm, wsx in wcomp:
+            wn = WindowedNeighborhood(lidx=widx, wmask=wm, ov_idx=ko0,
+                                      ov_mask=km0, window=window, tile=tile)
+            out.append((wn, wsx, edges) if return_sxyz else (wn, edges))
+        return tuple(out)
+
+    ocomp = _compact_bands(ed2_ov, valid_ov, jnp.zeros_like(valid_ov),
+                           opool_idx, sxyz_ov if return_sxyz else None,
+                           mask, row, bands, [min(ov_slots, k) for k in ks])
 
     out = []
     for (widx, wm, wsx), (oidx, om, osx) in zip(wcomp, ocomp):

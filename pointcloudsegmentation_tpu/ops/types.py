@@ -94,6 +94,38 @@ class WindowedNeighborhood:
         return Neighborhood(idx=self.global_idx, mask=self.mask)
 
 
+class EdgeOverflow(NamedTuple):
+    """Compact shared-capacity edge list for out-of-slab neighbors.
+
+    Per-point overflow SLOTS waste ~8-16x capacity (avg overflow is ~0.5-1.5
+    neighbors/point but the tail needs 8+ slots, and every conv pays a
+    row-DMA gather+scatter over N*Ko slot rows).  Pooling the capacity into
+    one [E]-edge list (E = edge_ratio*N across the level) serves the same
+    tail with ~4x fewer gathered rows per conv and full overflow-pool
+    recall.  Edges are sorted by center (row-major construction), so
+    segment reductions run with indices_are_sorted=True.
+
+    center: [E] int32 — center point index (sorted ascending).
+    nbr:    [E] int32 — neighbor point index.
+    sxyz:   [E, 3] float32 — xyz[nbr] - xyz[center].
+    d2:     [E] float32 — squared edge length (for per-band membership).
+    mask:   [E] bool — entry validity (contiguous prefix).
+
+    Band membership is evaluated per use: ``(d2 >= mn²) & (d2 <= mx²) &
+    mask`` — one shared list serves every band of the level.
+    """
+
+    center: jnp.ndarray
+    nbr: jnp.ndarray
+    sxyz: jnp.ndarray
+    d2: jnp.ndarray
+    mask: jnp.ndarray
+
+    def band_mask(self, min_radius: float, max_radius: float) -> jnp.ndarray:
+        return self.mask & (self.d2 >= min_radius * min_radius) \
+            & (self.d2 <= max_radius * max_radius)
+
+
 class Level(NamedTuple):
     """One level of the voxel pyramid: padded point set with validity mask."""
 

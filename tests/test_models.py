@@ -23,7 +23,9 @@ def small_pyramid(rng, block=3.0, sizes=(0.3, 0.9)):
 
 
 @pytest.mark.parametrize("arch,fdim", [
-    (S3DIS_ARCH, 12), (SCANNET_ARCH, 12), (SEMANTIC3D_ARCH, 13)])
+    pytest.param(S3DIS_ARCH, 12, marks=pytest.mark.slow),
+    (SCANNET_ARCH, 12),
+    pytest.param(SEMANTIC3D_ARCH, 13, marks=pytest.mark.slow)])
 def test_pointnet_encoder_forward(rng, arch, fdim):
     pyr, mask = small_pyramid(rng)
     feats = jnp.asarray(rng.randn(N, fdim).astype(np.float32))
@@ -57,6 +59,7 @@ def test_classifier_head_and_dropout(rng):
     assert not np.allclose(np.asarray(lt1), np.asarray(lt2))
 
 
+@pytest.mark.slow
 def test_gradients_flow_end_to_end(rng):
     pyr, mask = small_pyramid(rng)
     feats = jnp.asarray(rng.randn(N, 12).astype(np.float32))
@@ -84,6 +87,7 @@ def test_gradients_flow_end_to_end(rng):
     assert nonzero / len(leaves) > 0.9
 
 
+@pytest.mark.slow
 def test_ecd_model_forward(rng):
     pyr, mask = small_pyramid(rng)
     feats = jnp.asarray(rng.randn(N, 12).astype(np.float32))
@@ -94,6 +98,7 @@ def test_ecd_model_forward(rng):
     assert np.isfinite(np.asarray(gf)[np.asarray(mask)]).all()
 
 
+@pytest.mark.slow
 def test_pgnet_hybrid_forward(rng):
     pyr, mask = small_pyramid(rng)
     feats = jnp.asarray(rng.randn(N, 12).astype(np.float32))
@@ -104,6 +109,7 @@ def test_pgnet_hybrid_forward(rng):
     assert np.isfinite(np.asarray(gf)[np.asarray(mask)]).all()
 
 
+@pytest.mark.slow
 def test_gpn_class_model(rng):
     pyr, mask = small_pyramid(rng)
     feats = jnp.asarray(rng.randn(N, 9).astype(np.float32))
@@ -315,3 +321,51 @@ def test_refine_cascade_trains(rng):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+# -- fast stand-ins for the slow-marked full-spec compiles above ------------
+
+TINY_ARCH = None
+
+
+def _tiny_arch():
+    global TINY_ARCH
+    if TINY_ARCH is None:
+        from pointcloudsegmentation_tpu.models.pointnet import (Arch,
+                                                                ConvSpec,
+                                                                StageSpec)
+        TINY_ARCH = Arch(stages=(
+            StageSpec(rescale=0.3, convs=(
+                ConvSpec(radius=0.3, k=8, fc_dims=(4, 4), out=8),
+                ConvSpec(radius=0.4, min_radius=0.3, k=6, embed=8,
+                         fc_dims=(4, 4), out=8),
+            ), pool_fc_dims=(4, 4), pool_out=8),
+            StageSpec(rescale=0.9, convs=(
+                ConvSpec(radius=0.9, k=8, embed=8, fc_dims=(4, 4), out=8),
+            ), pool_fc_dims=None),
+        ), global_dims=(8, 8), global_out=16)
+    return TINY_ARCH
+
+
+def test_tiny_encoder_forward_and_grad(rng):
+    """CI-fast coverage of the encoder machinery (search cache, dilated
+    band, embed, pool block, global MLP, decoder, gradients) on a 2-stage
+    tiny arch — the full reference specs compile in the slow suite."""
+    pyr, mask = small_pyramid(rng)
+    feats = jnp.asarray(rng.randn(N, 12).astype(np.float32))
+    enc = PointNetSegEncoder(arch=_tiny_arch(), search_chunk=128)
+    params = enc.init(jax.random.PRNGKey(0), pyr, feats)
+    gf, lf = enc.apply(params, pyr, feats)
+    assert gf.shape[0] == N and lf.shape[0] == N
+    m = np.asarray(mask)
+    assert np.isfinite(np.asarray(gf)[m]).all()
+
+    def loss_fn(p):
+        g, _ = enc.apply(p, pyr, feats)
+        return jnp.sum(g ** 2)
+
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    nonzero = sum(float(jnp.max(jnp.abs(g))) > 0 for g in leaves)
+    assert nonzero / len(leaves) > 0.8

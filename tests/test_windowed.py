@@ -153,6 +153,128 @@ def test_windowed_sxyz_consistent(rng):
         assert np.abs(np.asarray(sxyz)[~m]).max() == 0.0
 
 
+def test_edge_overflow_integrity_and_recall(rng):
+    """ov_mode='edges': sorted centers, exact geometry, and union recall at
+    least as good as slot mode (shared capacity serves the tail)."""
+    xyz, mask, _ = _sorted_cloud(rng, 1024, n_valid=1000)
+    res = search.windowed_multi_band_neighbors(
+        jnp.asarray(xyz), jnp.asarray(mask), BANDS, tile=128, window=128,
+        cand_k=64, return_sxyz=True, ov_mode="edges", edge_ratio=4)
+    res_slots = search.windowed_multi_band_neighbors(
+        jnp.asarray(xyz), jnp.asarray(mask), BANDS, tile=128, window=128,
+        cand_k=64, ov_slots=8, return_sxyz=True)
+    edges = res[0][2]
+    c = np.asarray(edges.center)
+    m = np.asarray(edges.mask)
+    assert (np.diff(c) >= 0).all()          # sorted for segment reductions
+    d = xyz[np.asarray(edges.nbr)[m]] - xyz[c[m]]
+    np.testing.assert_allclose(d, np.asarray(edges.sxyz)[m], atol=1e-6)
+    np.testing.assert_allclose((d ** 2).sum(1), np.asarray(edges.d2)[m],
+                               atol=1e-5)
+
+    for (mn, mx, k), (wn, _, ed), (wns, _) in zip(BANDS, res, res_slots):
+        oracle_idx, oracle_mask = np_radius_neighbors(xyz, mask, mx, k,
+                                                      min_radius=mn)
+        em = np.asarray(ed.band_mask(mn, mx))
+        union = {}
+        g = np.asarray(wn.global_idx)
+        wm = np.asarray(wn.mask)
+        for i in range(1024):
+            union[i] = set(g[i][wm[i]].tolist())
+        for e in np.where(em)[0]:
+            union[int(c[e])].add(int(np.asarray(ed.nbr)[e]))
+        gs = np.asarray(wns.global_idx)
+        ms_ = np.asarray(wns.mask)
+        tot = hit = hit_slots = 0
+        for i in range(1024):
+            if not mask[i]:
+                continue
+            true = set(oracle_idx[i][oracle_mask[i]].tolist())
+            tot += len(true)
+            hit += len(true & union[i])
+            hit_slots += len(true & set(gs[i][ms_[i]].tolist()))
+        assert hit >= hit_slots, (mn, mx, hit, hit_slots)
+        assert hit / max(tot, 1) >= 0.995, (mn, mx, hit / tot)
+
+
+def test_edge_conv_matches_slot_union(rng):
+    """PointNetConvFast fed (windowed + edge list) must equal the same conv
+    fed one plain Neighborhood holding the union of both edge sets."""
+    from pointcloudsegmentation_tpu.models.fast_conv import PointNetConvFast
+    from pointcloudsegmentation_tpu.ops.types import Neighborhood
+
+    xyz, mask, _ = _sorted_cloud(rng, 512, n_valid=512)
+    band = (0.0, 0.45, 12)
+    (trip,) = search.windowed_multi_band_neighbors(
+        jnp.asarray(xyz), jnp.asarray(mask), (band,), tile=128, window=128,
+        cand_k=48, return_sxyz=True, ov_mode="edges", edge_ratio=4)
+    wn, sxyz, ed = trip
+    # pack the union into plain slots
+    g = np.asarray(wn.global_idx)
+    wm = np.asarray(wn.mask)
+    em = np.asarray(ed.band_mask(band[0], band[1]))
+    per = {i: list(zip(g[i][wm[i]], np.asarray(sxyz)[i][wm[i]] / 0.45))
+           for i in range(512)}
+    for e in np.where(em)[0]:
+        i = int(np.asarray(ed.center)[e])
+        per[i].append((int(np.asarray(ed.nbr)[e]),
+                       np.asarray(ed.sxyz)[e] / 0.45))
+    kmax = max(len(v) for v in per.values())
+    idx = np.tile(np.arange(512, dtype=np.int32)[:, None], (1, kmax))
+    msk = np.zeros((512, kmax), bool)
+    sx = np.zeros((512, kmax, 3), np.float32)
+    for i, v in per.items():
+        for j, (jj, s) in enumerate(v):
+            idx[i, j] = jj
+            msk[i, j] = True
+            sx[i, j] = s
+    plain = Neighborhood(idx=jnp.asarray(idx), mask=jnp.asarray(msk))
+
+    feats = jnp.asarray(rng.randn(512, 16).astype(np.float32))
+    conv = PointNetConvFast((8, 8), 16)
+    params = conv.init(jax.random.PRNGKey(0), sxyz / 0.45, feats, wn,
+                       ed, (band[0], band[1]), 0.45)
+    out_e = conv.apply(params, sxyz / 0.45, feats, wn, ed,
+                       (band[0], band[1]), 0.45)
+    out_p = conv.apply(params, jnp.asarray(sx), feats, plain)
+    np.testing.assert_allclose(np.asarray(out_e), np.asarray(out_p),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_edge_truncation_drops_farthest_rank(rng):
+    """With a tiny cap, kept edges must be each point's nearest-rank prefix
+    (global rank-major fill), never biased by point index."""
+    xyz, mask, _ = _sorted_cloud(rng, 512, n_valid=512)
+    (trip,) = search.windowed_multi_band_neighbors(
+        jnp.asarray(xyz), jnp.asarray(mask), ((0.0, 0.6, 16),), tile=128,
+        window=128, cand_k=64, return_sxyz=True, ov_mode="edges",
+        edge_ratio=1)
+    wn, _, ed = trip
+    (trip_full,) = search.windowed_multi_band_neighbors(
+        jnp.asarray(xyz), jnp.asarray(mask), ((0.0, 0.6, 16),), tile=128,
+        window=128, cand_k=64, return_sxyz=True, ov_mode="edges",
+        edge_ratio=16)
+    _, _, ed_full = trip_full
+    demand = int(ed_full.mask.sum())
+    assert int(ed.mask.sum()) == min(demand, 512)
+    # every kept edge's rank (distance order within its center's full edge
+    # set) must be below the dropped count threshold, i.e. kept = the
+    # globally nearest ranks.  Verify per center: kept d2 prefix of full d2.
+    c = np.asarray(ed.center)[np.asarray(ed.mask)]
+    d2 = np.asarray(ed.d2)[np.asarray(ed.mask)]
+    cf = np.asarray(ed_full.center)[np.asarray(ed_full.mask)]
+    d2f = np.asarray(ed_full.d2)[np.asarray(ed_full.mask)]
+    max_kept_rank = 0
+    for i in set(c.tolist()):
+        mine = np.sort(d2[c == i])
+        full = np.sort(d2f[cf == i])
+        np.testing.assert_allclose(mine, full[:len(mine)], atol=1e-6)
+        max_kept_rank = max(max_kept_rank, len(mine))
+    if demand > 512:
+        # truncated: kept ones are always the nearest (prefix check above)
+        assert len(c) < len(cf)
+
+
 def test_band_neighbors_auto_fallback(rng):
     """Small / non-tile-aligned levels must fall back to the global path."""
     from pointcloudsegmentation_tpu.ops.types import Neighborhood
