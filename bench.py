@@ -24,6 +24,7 @@ BASELINE_POINTS_PER_SEC = 8.0e4  # estimated TF-CUDA reference, 1x V100
 import os
 NUM_POINTS = int(os.environ.get("PCS_BENCH_POINTS", 8192))
 BATCH = int(os.environ.get("PCS_BENCH_BATCH", 4))
+CHUNK = int(os.environ.get("PCS_BENCH_CHUNK", 2048))
 WARMUP = 3
 ITERS = 20
 
@@ -32,7 +33,7 @@ def main():
     cfg = s3dis_config(data_num_points=NUM_POINTS,
                        data_caps=(4096, 1024),
                        data_feat_dim=12)
-    trainer = Trainer(cfg, search_chunk=2048)
+    trainer = Trainer(cfg, search_chunk=CHUNK)
     rng = jax.random.PRNGKey(0)
     batches = list(toy.toy_batches(2, batch_size=BATCH,
                                    num_points=NUM_POINTS, kind="room",

@@ -257,7 +257,12 @@ class PointNetSegEncoder(nn.Module):
                 window=self.win_window, cand_k=min(self.cand_k, n),
                 ov_slots=self.ov_slots, chunk=min(self.search_chunk, n),
                 return_sxyz=True, ov_mode=self.ov_mode,
-                edge_ratio=edge_ratio)
+                edge_ratio=edge_ratio,
+                # NOTE: ov_window tiers were measured too lossy as default
+                # (Morton's tail is fat: 3-5% of neighbors sit at index
+                # distance ~N/2 across octant boundaries), so overflow
+                # stays on global slots; see BASELINE.md.
+                ov_window=0)
             if self.ov_mode == "edges":
                 return dict(zip(uniq, res))
             return {spec: (nbr, sx, None) for spec, (nbr, sx) in

@@ -159,9 +159,29 @@ def gather_neighbors(feats: jnp.ndarray, nbr) -> jnp.ndarray:
     """
     if isinstance(nbr, WindowedNeighborhood):
         win = windowed_gather(feats, nbr)
-        ov = jnp.take(feats, nbr.ov_idx, axis=0)
+        if nbr.ov_idx.shape[-1] == 0:
+            return win
+        if nbr.ov_window > 0:
+            ov = _tiered_gather(feats, nbr.ov_idx, nbr.ov_window, nbr.tile)
+        else:
+            ov = jnp.take(feats, nbr.ov_idx, axis=0)
         return jnp.concatenate([win, ov], axis=1)
     return jnp.take(feats, nbr.idx, axis=0)
+
+
+def _tiered_gather(feats, lidx, window, tile):
+    """Gather in a wider window tier — one-hot on TPU, row gather on CPU."""
+    import os
+
+    flag = os.environ.get("PCS_ONEHOT_FWD", "")
+    use_onehot = (jax.default_backend() == "tpu") if flag == "" \
+        else flag == "1"
+    if use_onehot:
+        return _onehot_take(feats, lidx, window, tile)
+    n = feats.shape[0]
+    tile_start = (jnp.arange(n, dtype=jnp.int32) // tile) * tile
+    gidx = jnp.clip(lidx + (tile_start - window)[:, None], 0, n - 1)
+    return _windowed_take(feats, gidx, lidx, window, tile)
 
 
 def neighbor_diff(vals: jnp.ndarray, nbr) -> jnp.ndarray:

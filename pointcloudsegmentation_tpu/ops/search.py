@@ -329,7 +329,7 @@ def band_neighbors_auto(xyz: jnp.ndarray, mask: jnp.ndarray, bands,
 @partial(jax.jit, static_argnames=("bands", "tile", "window", "cand_k",
                                    "ov_slots", "chunk", "recall_target",
                                    "use_approx", "return_sxyz", "ov_mode",
-                                   "edge_ratio"))
+                                   "edge_ratio", "ov_window"))
 def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
                                   bands, tile: int = 256, window: int = 256,
                                   cand_k: int = 64, ov_slots: int = 8,
@@ -338,7 +338,8 @@ def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
                                   use_approx: bool = True,
                                   return_sxyz: bool = False,
                                   ov_mode: str = "slots",
-                                  edge_ratio: int = 2):
+                                  edge_ratio: int = 2,
+                                  ov_window: int = 0):
     """Multi-band fixed-K search for MORTON-SORTED points whose result is
     split into a windowed fast path + a small overflow path
     (types.WindowedNeighborhood), making downstream gathers MXU one-hot
@@ -407,13 +408,32 @@ def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
 
     # shared overflow pool: the ov_pool nearest out-of-slab candidates,
     # ranked by the selection scores (selection-grade accuracy suffices for
-    # pool membership; band membership below uses exact distances)
+    # pool membership; band membership below uses exact distances).
+    # With ov_window > 0 the pool is restricted to the WIDER window tier
+    # [t*tile - ov_window, ...+ov_window): its geometry comes from one-hot
+    # slab reads and downstream gathers stay on the MXU; the few neighbors
+    # beyond the wide tier are dropped (measured ~1% of overflow edges at
+    # ov_window = 4*window on S3DIS-like blocks).
     ov_pool = min(2 * ov_slots, cand_k) if ov_mode == "slots" \
         else min(16, cand_k)
-    (opool_idx, opool_mask, _), = _compact_bands(
-        -appv, ~in_slab & sel_valid, jnp.zeros_like(in_slab), ci, None,
-        mask, row, ((0.0, 1e15, ov_pool),), [ov_pool])
-    ocand = jnp.take(xyzm, opool_idx, axis=0)                # [N, op, 4]
+    ov_valid_sel = ~in_slab & sel_valid
+    if ov_window > 0:
+        assert ov_window % tile == 0 and ov_window >= window
+        lo2 = tile_start - ov_window
+        s2 = tile + 2 * ov_window
+        in_slab2 = (ci >= lo2[:, None]) & (ci < (lo2 + s2)[:, None])
+        lci2 = jnp.clip(ci - lo2[:, None], 0, s2 - 1)
+        self_local2 = (row % tile) + ov_window
+        ov_valid_sel &= in_slab2
+        (opool_idx, opool_mask, _), = _compact_bands(
+            -appv, ov_valid_sel, jnp.zeros_like(in_slab), lci2, None,
+            mask, self_local2, ((0.0, 1e15, ov_pool),), [ov_pool])
+        ocand = _geom_slab_take(xyzm, opool_idx, ov_window, tile)
+    else:
+        (opool_idx, opool_mask, _), = _compact_bands(
+            -appv, ov_valid_sel, jnp.zeros_like(in_slab), ci, None,
+            mask, row, ((0.0, 1e15, ov_pool),), [ov_pool])
+        ocand = jnp.take(xyzm, opool_idx, axis=0)            # [N, op, 4]
     sxyz_ov = ocand[..., :3] - xyz[:, None, :]
     ed2_ov = jnp.sum(sxyz_ov * sxyz_ov, axis=-1)
     valid_ov = (ocand[..., 3] > 0.5) & opool_mask
@@ -434,10 +454,12 @@ def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
         keep = valid_ov & (ed2_ov <= max_mx * max_mx) \
             & (ed2_ov >= min_mn * min_mn)                    # [N, op]
         e_cap = edge_ratio * n
+        opool_gidx = opool_idx if ov_window == 0 else jnp.clip(
+            opool_idx + (tile_start - ov_window)[:, None], 0, n - 1)
         payload = jnp.concatenate([
             jnp.broadcast_to(row[:, None], (n, ov_pool)
                              ).reshape(n, ov_pool, 1).astype(jnp.float32),
-            opool_idx[..., None].astype(jnp.float32),
+            opool_gidx[..., None].astype(jnp.float32),
             ed2_ov[..., None],
             sxyz_ov], axis=-1)                               # [N, op, 6]
         kf = keep.T.reshape(-1)                              # rank-major
@@ -467,14 +489,17 @@ def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
             out.append((wn, wsx, edges) if return_sxyz else (wn, edges))
         return tuple(out)
 
+    ov_pad = self_local2 if ov_window > 0 else row
     ocomp = _compact_bands(ed2_ov, valid_ov, jnp.zeros_like(valid_ov),
                            opool_idx, sxyz_ov if return_sxyz else None,
-                           mask, row, bands, [min(ov_slots, k) for k in ks])
+                           mask, ov_pad, bands,
+                           [min(ov_slots, k) for k in ks])
 
     out = []
     for (widx, wm, wsx), (oidx, om, osx) in zip(wcomp, ocomp):
         wn = WindowedNeighborhood(lidx=widx, wmask=wm, ov_idx=oidx,
-                                  ov_mask=om, window=window, tile=tile)
+                                  ov_mask=om, window=window, tile=tile,
+                                  ov_window=ov_window)
         if return_sxyz:
             out.append((wn, jnp.concatenate([wsx, osx], axis=1)))
         else:

@@ -51,10 +51,14 @@ class WindowedNeighborhood:
 
     lidx:    [N, K] int32 — slab-local neighbor indices in [0, tile+2*window)
     wmask:   [N, K] bool
-    ov_idx:  [N, Ko] int32 — global indices of out-of-slab neighbors
+    ov_idx:  [N, Ko] int32 — out-of-slab neighbors.  With ``ov_window > 0``
+             these are slab-local in the WIDER tier
+             [t*tile - ov_window, t*tile + tile + ov_window) — gathers run
+             as one-hot matmuls there too; with ``ov_window == 0`` they are
+             plain global indices (row-DMA gathers).
     ov_mask: [N, Ko] bool
-    window/tile: STATIC pytree metadata (Python ints; a jit boundary keeps
-    them static — they select the compiled slab geometry).
+    window/tile/ov_window: STATIC pytree metadata (Python ints; a jit
+    boundary keeps them static — they select the compiled slab geometry).
 
     The combined view (``mask``/``k``/``counts``/``global_idx``) presents the
     K + Ko slots as one neighborhood so masked reductions work unchanged.
@@ -66,6 +70,7 @@ class WindowedNeighborhood:
     ov_mask: jnp.ndarray
     window: int = struct.field(pytree_node=False)
     tile: int = struct.field(pytree_node=False)
+    ov_window: int = struct.field(pytree_node=False, default=0)
 
     @property
     def k(self) -> int:
@@ -80,14 +85,19 @@ class WindowedNeighborhood:
 
     @property
     def global_idx(self) -> jnp.ndarray:
-        """[N, K+Ko] global indices (windowed slots converted from local)."""
+        """[N, K+Ko] global indices (local slots converted)."""
         n = self.lidx.shape[0]
         tile_start = (jnp.arange(n, dtype=jnp.int32) // self.tile) * self.tile
+        self_i = jnp.arange(n, dtype=jnp.int32)[:, None]
         gidx = self.lidx + (tile_start - self.window)[:, None]
         gidx = jnp.clip(gidx, 0, n - 1)
-        self_i = jnp.arange(n, dtype=jnp.int32)[:, None]
         gidx = jnp.where(self.wmask, gidx, self_i)
-        return jnp.concatenate([gidx, self.ov_idx], axis=-1)
+        ov = self.ov_idx
+        if self.ov_window > 0 and ov.shape[-1] > 0:
+            ov = ov + (tile_start - self.ov_window)[:, None]
+            ov = jnp.clip(ov, 0, n - 1)
+            ov = jnp.where(self.ov_mask, ov, self_i)
+        return jnp.concatenate([gidx, ov], axis=-1)
 
     def to_neighborhood(self) -> "Neighborhood":
         """Plain global-index view (for oracle tests / non-fast-path code)."""

@@ -176,9 +176,28 @@ def build_model(cfg: TrainConfig, search_chunk: int = 1024) -> nn.Module:
     common = dict(num_classes=d.num_classes, voxel_sizes=d.voxel_sizes,
                   caps=d.caps, block_size=d.block_size)
     seg_extra = dict(diffusion_steps=getattr(cfg, "diffusion_steps", 0))
+    def _tiny_arch():
+        # 2-stage / 3-conv miniature of the flagship machine (same code
+        # paths: dilated band, embed bottleneck, pool block, decoder) for
+        # CI-fast trainer tests — the full specs compile in minutes on CPU
+        from ..models.pointnet import Arch, ConvSpec, StageSpec
+
+        return Arch(stages=(
+            StageSpec(rescale=0.3, convs=(
+                ConvSpec(radius=0.3, k=8, fc_dims=(4, 4), out=8),
+                ConvSpec(radius=0.4, min_radius=0.3, k=6, embed=8,
+                         fc_dims=(4, 4), out=8),
+            ), pool_fc_dims=(4, 4), pool_out=8),
+            StageSpec(rescale=0.9, convs=(
+                ConvSpec(radius=0.9, k=8, embed=8, fc_dims=(4, 4), out=8),
+            ), pool_fc_dims=None),
+        ), global_dims=(8, 8), global_out=16)
+
     enc_map: Dict[str, Callable[[], nn.Module]] = {
         "pointnet_s3dis": lambda: PointNetSegEncoder(
             arch=S3DIS_ARCH, search_chunk=search_chunk),
+        "tiny_s3dis": lambda: PointNetSegEncoder(
+            arch=_tiny_arch(), search_chunk=search_chunk),
         "pointnet_scannet": lambda: PointNetSegEncoder(
             arch=SCANNET_ARCH, search_chunk=search_chunk),
         "pointnet_semantic3d": lambda: PointNetSegEncoder(
