@@ -334,7 +334,7 @@ def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
                                   bands, tile: int = 256, window: int = 256,
                                   cand_k: int = 64, ov_slots: int = 8,
                                   chunk: int = 2048,
-                                  recall_target: float = 0.9,
+                                  recall_target: float = 0.8,
                                   use_approx: bool = True,
                                   return_sxyz: bool = False,
                                   ov_mode: str = "slots",
