@@ -53,13 +53,56 @@ def band_recall(n=8192, cand_k=96, seed=0):
     return out
 
 
+def windowed_band_recall(n=8192, cand_k=64, seed=0):
+    """TPU recall of the production windowed path (Morton sort + relaxed
+    approx selection + windowed/overflow compaction) vs an exact host
+    reference.  Threshold 0.94: the windowed pool + rt=0.8 selection trade
+    ~1-4pp of (mostly annulus) recall for ~2x step throughput — measured
+    and documented in BASELINE.md."""
+    from pointcloudsegmentation_tpu.ops import morton
+
+    rng = np.random.RandomState(seed)
+    xyz = rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32)
+    xyz[:, 2] = rng.uniform(0, 1.5, n)
+    mask = np.ones(n, bool)
+    xs, ms, _ = morton.sort_block(jnp.asarray(xyz), jnp.asarray(mask),
+                                  0.0375, 3.0)
+    res = search.windowed_multi_band_neighbors(
+        xs, ms, BANDS, tile=256, window=256, cand_k=cand_k, ov_slots=8,
+        chunk=2048)
+    xn = np.asarray(xs)
+    d2 = ((xn[:, None, :].astype(np.float64)
+           - xn[None, :, :].astype(np.float64)) ** 2).sum(-1)
+    out = []
+    for (mn, mx, k), wn in zip(BANDS, res):
+        ai = np.asarray(wn.global_idx)
+        am = np.asarray(wn.mask)
+        band = (d2 <= mx * mx) & (d2 >= mn * mn)
+        if mn > 0:
+            np.fill_diagonal(band, False)
+        inter = total = 0
+        for i in range(n):
+            cand = np.where(band[i])[0]
+            want = set(cand[np.argsort(d2[i][cand], kind="stable")][:k])
+            inter += len(set(ai[i][am[i]]) & want)
+            total += len(want)
+        out.append(((mn, mx, k), inter / max(total, 1)))
+    return out
+
+
 def main():
     ok = True
     for seed in (0, 1):
         for band, r in band_recall(seed=seed):
             status = "OK" if r >= 0.99 else "FAIL"
             ok &= r >= 0.99
-            print(f"seed={seed} band={band}: recall={r:.4f} {status}")
+            print(f"global seed={seed} band={band}: recall={r:.4f} {status}")
+    for seed in (0, 1):
+        for band, r in windowed_band_recall(seed=seed):
+            status = "OK" if r >= 0.94 else "FAIL"
+            ok &= r >= 0.94
+            print(f"windowed seed={seed} band={band}: recall={r:.4f} "
+                  f"{status}")
     print("PASS" if ok else "FAIL")
     raise SystemExit(0 if ok else 1)
 
