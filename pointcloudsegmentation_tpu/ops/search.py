@@ -360,6 +360,9 @@ def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
     """
     n = xyz.shape[0]
     assert n % tile == 0, (n, tile)
+    assert window % tile == 0, \
+        f"window ({window}) must be a multiple of tile ({tile}) — the " \
+        "one-hot backward's dense overlap-add relies on it"
     chunk = min(chunk, n)
     sq = jnp.sum(xyz * xyz, axis=-1)
     row = jnp.arange(n, dtype=jnp.int32)

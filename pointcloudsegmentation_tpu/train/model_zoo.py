@@ -172,7 +172,14 @@ class ClassificationModel(nn.Module):
 
 
 def build_model(cfg: TrainConfig, search_chunk: int = 1024) -> nn.Module:
+    import os
+
     d = cfg.data
+    # perf-tuning knobs for A/B runs without code edits
+    _win = int(os.environ.get("PCS_WIN_WINDOW", 256))
+    _enc_kw = dict(search_chunk=search_chunk)
+    if _win != 256:
+        _enc_kw["win_window"] = _win
     common = dict(num_classes=d.num_classes, voxel_sizes=d.voxel_sizes,
                   caps=d.caps, block_size=d.block_size)
     seg_extra = dict(diffusion_steps=getattr(cfg, "diffusion_steps", 0))
@@ -195,17 +202,17 @@ def build_model(cfg: TrainConfig, search_chunk: int = 1024) -> nn.Module:
 
     enc_map: Dict[str, Callable[[], nn.Module]] = {
         "pointnet_s3dis": lambda: PointNetSegEncoder(
-            arch=S3DIS_ARCH, search_chunk=search_chunk),
+            arch=S3DIS_ARCH, **_enc_kw),
         "tiny_s3dis": lambda: PointNetSegEncoder(
-            arch=_tiny_arch(), search_chunk=search_chunk),
+            arch=_tiny_arch(), **_enc_kw),
         "pointnet_scannet": lambda: PointNetSegEncoder(
-            arch=SCANNET_ARCH, search_chunk=search_chunk),
+            arch=SCANNET_ARCH, **_enc_kw),
         "pointnet_semantic3d": lambda: PointNetSegEncoder(
-            arch=SEMANTIC3D_ARCH, search_chunk=search_chunk),
+            arch=SEMANTIC3D_ARCH, **_enc_kw),
         # pointnet_13_dilate_embed_semantic3d (the 3rd Semantic3D variant,
         # model_pointnet_semantic3d.py:327-441)
         "pointnet_semantic3d_dilate": lambda: PointNetSegEncoder(
-            arch=SEMANTIC3D_DILATE_ARCH, search_chunk=search_chunk),
+            arch=SEMANTIC3D_DILATE_ARCH, **_enc_kw),
         "ecd_scannet": lambda: ECDSegModel(
             specs=SCANNET_ECD_SPEC, search_chunk=search_chunk),
         "ecd_s3dis": lambda: ECDSegModel(
