@@ -68,12 +68,26 @@ class ContextFusionModel(nn.Module):
     ctx_voxel_size: float = 5.0
     ctx_cap: int = 128
     ctx_block_size: float = 50.0
+    # Morton-sort the block (in-jit) so the main branch's windowed search
+    # fast path applies; ctx_idx is per-point and permutes along; logits are
+    # mapped back to the input order (same contract as SegmentationModel)
+    morton_sort: bool = True
 
     @nn.compact
     def __call__(self, xyz, feats, mask, ctx_xyz, ctx_feats, ctx_mask,
                  ctx_idx, train: bool = False) -> jnp.ndarray:
+        from ..ops import morton
+
+        inv = None
+        if self.morton_sort:
+            cell = self.voxel_sizes[0] / 4.0
+            xyz, mask, order, feats, ctx_idx = morton.sort_block(
+                xyz, mask, cell, self.block_size, feats, ctx_idx)
+            inv = morton.inverse_permutation(order)
+
         pyr = hier.build_pyramid(xyz, mask, self.voxel_sizes, self.caps,
-                                 self.block_size)
+                                 self.block_size,
+                                 morton_sorted=self.morton_sort)
         gf, lf = self.encoder(pyr, feats)
 
         ctx_pyr = hier.build_pyramid(ctx_xyz, ctx_mask,
@@ -86,4 +100,7 @@ class ContextFusionModel(nn.Module):
         per_point_ctx = per_point_ctx * mask[:, None].astype(
             per_point_ctx.dtype)
         gf = jnp.concatenate([gf, per_point_ctx], axis=-1)
-        return SegClassifier(self.num_classes, name="head")(gf, lf, train)
+        logits = SegClassifier(self.num_classes, name="head")(gf, lf, train)
+        if inv is not None:
+            logits = jnp.take(logits, inv, axis=0)
+        return logits

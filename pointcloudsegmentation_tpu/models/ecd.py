@@ -125,13 +125,15 @@ class ECDStage(nn.Module):
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, mask: jnp.ndarray,
-                 dxyz: jnp.ndarray, feats: jnp.ndarray):
+                 dxyz: jnp.ndarray, feats: jnp.ndarray,
+                 is_sorted: bool = False):
         sp = self.spec
         # slack candidate pool (4x k): approx_max_k recall misses must land
         # in the unused tail, not drop true in-band neighbors
         (nbr, sxyz_raw), = search.band_neighbors_auto(
             xyz, mask, ((0.0, sp.radius, sp.k),),
-            cand_k=min(4 * sp.k, xyz.shape[0]), return_sxyz=True)
+            cand_k=min(4 * sp.k, xyz.shape[0]), return_sxyz=True,
+            sorted=is_sorted)
         sxyz = sxyz_raw / sp.radius
 
         g = sp.gxyz_dim
@@ -175,7 +177,8 @@ class ECDSegModel(nn.Module):
             use_d = s == 0 or (sp.use_dxyz and s < len(pyramid.dxyz))
             dxyz = pyramid.dxyz[s] if use_d else lvl.xyz
             fc, lf = ECDStage(sp, self.search_chunk, name=f"stage{s}")(
-                lvl.xyz, lvl.mask, dxyz, cur)
+                lvl.xyz, lvl.mask, dxyz, cur,
+                is_sorted=pyramid.level_sorted(s))
             fcs.append(fc)
             lfs.append(lf)
             if s < n_stages - 1:
@@ -302,7 +305,7 @@ class PGNetHybrid(nn.Module):
                     cache[key], = search.band_neighbors_auto(
                         lvl.xyz, lvl.mask, ((0.0, p.radius, p.k),),
                         cand_k=min(4 * p.k, lvl.xyz.shape[0]),
-                        return_sxyz=True)
+                        return_sxyz=True, sorted=pyramid.level_sorted(s))
                 nbr, sxyz_raw = cache[key]
                 sxyz = sxyz_raw / p.radius
                 prev = feats
@@ -383,13 +386,15 @@ class ECDStageV2(nn.Module):
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, mask: jnp.ndarray,
-                 dxyz: jnp.ndarray, feats: jnp.ndarray):
+                 dxyz: jnp.ndarray, feats: jnp.ndarray,
+                 is_sorted: bool = False):
         from .variants import ECDFeatsV2, ECDXyzV2
 
         sp = self.spec
         (nbr, sxyz_raw), = search.band_neighbors_auto(
             xyz, mask, ((0.0, sp.radius, sp.k),),
-            cand_k=min(4 * sp.k, xyz.shape[0]), return_sxyz=True)
+            cand_k=min(4 * sp.k, xyz.shape[0]), return_sxyz=True,
+            sorted=is_sorted)
         sxyz = sxyz_raw * sp.sxyz_scale
 
         fd, ffd, dd, td, od = sp.xyz_param
@@ -424,19 +429,22 @@ class PGNetV6(nn.Module):
         lvl0, lvl1, lvl2 = pyramid.levels[:3]
 
         fc0, lf0 = ECDStageV2(self.specs[0], name="stage0")(
-            lvl0.xyz, lvl0.mask, pyramid.dxyz[0], feats)
+            lvl0.xyz, lvl0.mask, pyramid.dxyz[0], feats,
+            is_sorted=pyramid.level_sorted(0))
         fc0_pool = hier.pool_max(fc0, pyramid, 0)
         lf0_avg = hier.pool_avg(feats, pyramid, 0)
         ifeats0 = jnp.concatenate([lf0_avg, fc0_pool], axis=-1)
 
         fc1, lf1 = ECDStageV2(self.specs[1], name="stage1")(
-            lvl1.xyz, lvl1.mask, pyramid.dxyz[1], ifeats0)
+            lvl1.xyz, lvl1.mask, pyramid.dxyz[1], ifeats0,
+            is_sorted=pyramid.level_sorted(1))
         fc1_pool = hier.pool_max(fc1, pyramid, 1)
         lf1_avg = hier.pool_avg(lf0_avg, pyramid, 1)
         ifeats1 = jnp.concatenate([fc1_pool, lf1_avg], axis=-1)
 
         fc2, lf2 = ECDStageV2(self.specs[2], name="stage2")(
-            lvl2.xyz, lvl2.mask, lvl2.xyz, ifeats1)
+            lvl2.xyz, lvl2.mask, lvl2.xyz, ifeats1,
+            is_sorted=pyramid.level_sorted(2))
         gvec = _masked_global_max(fc2, lvl2.mask)
 
         up2 = jnp.broadcast_to(gvec[None, :], (fc2.shape[0], gvec.shape[0]))
@@ -517,7 +525,7 @@ class PGNetV7(nn.Module):
                     cache[key], = search.band_neighbors_auto(
                         lvl.xyz, lvl.mask, ((0.0, c.radius, c.k),),
                         cand_k=min(4 * c.k, lvl.xyz.shape[0]),
-                        return_sxyz=True)
+                        return_sxyz=True, sorted=pyramid.level_sorted(s))
                 nbr, sxyz_raw = cache[key]
                 sxyz = sxyz_raw / c.radius
                 prev = feats

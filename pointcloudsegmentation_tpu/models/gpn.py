@@ -61,12 +61,14 @@ class GPNStage(nn.Module):
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, mask: jnp.ndarray,
-                 dxyz: jnp.ndarray, feats: jnp.ndarray):
+                 dxyz: jnp.ndarray, feats: jnp.ndarray,
+                 is_sorted: bool = False):
         sp = self.spec
         # 4x slack pool: approx_max_k recall misses land in the unused tail
         (nbr, sxyz), = search.band_neighbors_auto(
             xyz, mask, ((0.0, sp.radius, sp.k),),
-            cand_k=min(4 * sp.k, xyz.shape[0]), return_sxyz=True)
+            cand_k=min(4 * sp.k, xyz.shape[0]), return_sxyz=True,
+            sorted=is_sorted)
         # raw diffs: lw = exp(sxyz @ pmiu)
 
         xyz_gc, lw, lw_sum = GPNConv(self.m, sp.gxyz_dim, mode="xyz",
@@ -113,7 +115,8 @@ class GPNClassModel(nn.Module):
             lvl = pyramid.levels[s]
             dxyz = pyramid.dxyz[s] if s < len(pyramid.dxyz) else lvl.xyz
             fc, lf = GPNStage(sp, self.m, self.search_chunk,
-                              name=f"stage{s}")(lvl.xyz, lvl.mask, dxyz, cur)
+                              name=f"stage{s}")(lvl.xyz, lvl.mask, dxyz, cur,
+                                                is_sorted=pyramid.level_sorted(s))
             fcs.append(fc)
             lfs.append(lf)
             if s < len(self.specs) - 1:
@@ -144,7 +147,8 @@ class GPNSegModel(nn.Module):
             lvl = pyramid.levels[s]
             dxyz = pyramid.dxyz[s] if s < len(pyramid.dxyz) else lvl.xyz
             fc, lf = GPNStage(sp, self.m, self.search_chunk,
-                              name=f"stage{s}")(lvl.xyz, lvl.mask, dxyz, cur)
+                              name=f"stage{s}")(lvl.xyz, lvl.mask, dxyz, cur,
+                                                is_sorted=pyramid.level_sorted(s))
             fcs.append(fc)
             lfs.append(lf)
             if s < top:

@@ -230,9 +230,14 @@ class PointNetSegEncoder(nn.Module):
     # "edges" (shared EdgeOverflow list — full overflow-pool recall, no
     # per-point truncation; use when accuracy is at a premium)
     ov_mode: str = "slots"
+    # tile-shared overflow pool size P (0 = per-point global slot gathers):
+    # with P > 0 every conv's overflow gather touches nt*P rows instead of
+    # N*Ko and the per-point reads become local one-hot matmuls
+    ov_pool_size: int = 0
 
     def _stage_neighborhoods(self, xyz, mask, specs,
-                             edge_ratio: int = 3) -> Dict:
+                             edge_ratio: int = 3,
+                             is_sorted: bool = False) -> Dict:
         """ALL of a stage's (min_radius, radius, k) searches in one
         candidate-selection pass (search.multi_band_neighbors) — the
         reference runs 4 independent O(N²) brute-force searches per stage
@@ -249,7 +254,10 @@ class PointNetSegEncoder(nn.Module):
                 uniq.append(s)
         bands = tuple((mn, mx, k) for (mx, mn, k) in uniq)
         n = xyz.shape[0]
-        windowed = self.windowed \
+        # the windowed path REQUIRES Morton-sorted points — eligibility is
+        # asserted by the caller (pyramid.level_sorted), never inferred from
+        # shape alone
+        windowed = self.windowed and is_sorted \
             and os.environ.get("PCS_DISABLE_WINDOWED", "") != "1"
         if windowed and n % self.win_tile == 0 and n >= 4 * self.win_tile:
             res = search.windowed_multi_band_neighbors(
@@ -257,6 +265,7 @@ class PointNetSegEncoder(nn.Module):
                 window=self.win_window, cand_k=min(self.cand_k, n),
                 ov_slots=self.ov_slots, chunk=min(self.search_chunk, n),
                 return_sxyz=True, ov_mode=self.ov_mode,
+                ov_pool_size=self.ov_pool_size,
                 edge_ratio=edge_ratio,
                 # NOTE: ov_window tiers were measured too lossy as default
                 # (Morton's tail is fat: 3-5% of neighbors sit at index
@@ -300,7 +309,8 @@ class PointNetSegEncoder(nn.Module):
             # (larger radii vs the same window) — give them more edge room
             triples = self._stage_neighborhoods(
                 pyramid.levels[s].xyz, pyramid.levels[s].mask, specs,
-                edge_ratio=3 if s == 0 else 5)
+                edge_ratio=3 if s == 0 else 5,
+                is_sorted=pyramid.level_sorted(s))
             caches.append({spec: p[0] for spec, p in triples.items()})
             sxyz_caches.append({spec: p[1] for spec, p in triples.items()})
             edge_caches.append(next(iter(triples.values()))[2])

@@ -49,7 +49,9 @@ class TemplateSegModel(nn.Module):
         for s, spec in enumerate(self.specs):
             lvl = pyramid.levels[s]
             dxyz = pyramid.dxyz[s] if s == 0 else lvl.xyz
-            fc, lf = self.make_stage(s, spec)(lvl.xyz, lvl.mask, dxyz, cur)
+            fc, lf = self.make_stage(s, spec)(
+                lvl.xyz, lvl.mask, dxyz, cur,
+                is_sorted=pyramid.level_sorted(s))
             fcs.append(fc)
             lfs.append(lf)
             if s < top:
@@ -108,7 +110,8 @@ class GenericStage(nn.Module):
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, mask: jnp.ndarray,
-                 dxyz: jnp.ndarray, feats: jnp.ndarray):
+                 dxyz: jnp.ndarray, feats: jnp.ndarray,
+                 is_sorted: bool = False):
         from ..ops import search
         from ..ops import neighbors as nb
         from ..ops import anchors as anchor_gen
@@ -117,7 +120,8 @@ class GenericStage(nn.Module):
         (nbr, sxyz_raw), = search.band_neighbors_auto(
             xyz, mask, ((0.0, sp.radius, sp.k),),
             cand_k=min(4 * sp.k, xyz.shape[0]),
-            chunk=min(self.search_chunk, xyz.shape[0]), return_sxyz=True)
+            chunk=min(self.search_chunk, xyz.shape[0]), return_sxyz=True,
+            sorted=is_sorted)
         sxyz = sxyz_raw / sp.radius
 
         def apply_conv(dim, name, f):
@@ -169,10 +173,12 @@ class SemanticPoolRefine(nn.Module):
         feats = nn.relu(Dense(256, name="semantic_embed")(sem_feats))
         lvl0, lvl1 = pyramid.levels[0], pyramid.levels[1]
         fc0, lf0 = ECDStage(self.stage0, name="stage0")(
-            lvl0.xyz, lvl0.mask, pyramid.dxyz[0], feats)
+            lvl0.xyz, lvl0.mask, pyramid.dxyz[0], feats,
+            is_sorted=pyramid.level_sorted(0))
         pooled = hier.pool_max(fc0, pyramid, 0)
         fc1, lf1 = ECDStage(self.stage1, name="stage1")(
-            lvl1.xyz, lvl1.mask, lvl1.xyz, pooled)
+            lvl1.xyz, lvl1.mask, lvl1.xyz, pooled,
+            is_sorted=pyramid.level_sorted(1))
         gvec = _masked_global_max(fc1, lvl1.mask)
         up1 = jnp.broadcast_to(gvec[None, :], (fc1.shape[0], gvec.shape[0]))
         up1 = jnp.concatenate([up1, fc1, lf1], axis=-1)

@@ -25,12 +25,16 @@ from .types import Level, Pyramid
 def build_pyramid(xyz: jnp.ndarray, mask: jnp.ndarray,
                   voxel_sizes: Sequence[float],
                   caps: Sequence[int],
-                  block_size: float = 3.0) -> Pyramid:
+                  block_size: float = 3.0,
+                  morton_sorted: bool = False) -> Pyramid:
     """Build an L+1-level pyramid from a padded point set.
 
     xyz: [N, 3]; mask: [N]; len(voxel_sizes) == len(caps) == L.
     Level 0 is the input; level i+1 holds the voxel centers of level i
     voxelized at voxel_sizes[i] with static capacity caps[i].
+    ``morton_sorted``: assert that the INPUT points are Morton-sorted
+    (ops.morton.sort_block) — gates the windowed search fast path at level 0
+    (coarser levels are Morton-ordered by construction either way).
 
     Matches the reference two-layer recipe (voxel_size1=0.15,
     voxel_size2=0.45, block_size=3.0 for S3DIS —
@@ -48,7 +52,8 @@ def build_pyramid(xyz: jnp.ndarray, mask: jnp.ndarray,
         dxyzs += (dxyz,)
         cur_xyz, cur_mask = info.centers, info.mask
         levels.append(Level(xyz=cur_xyz, mask=cur_mask))
-    return Pyramid(levels=tuple(levels), seg=segs, dxyz=dxyzs)
+    return Pyramid(levels=tuple(levels), seg=segs, dxyz=dxyzs,
+                   morton_sorted=morton_sorted)
 
 
 def pool_max(feats: jnp.ndarray, pyramid: Pyramid, level: int) -> jnp.ndarray:

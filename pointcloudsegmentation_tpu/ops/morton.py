@@ -48,7 +48,13 @@ def morton_order(xyz: jnp.ndarray, mask: jnp.ndarray, cell: float,
     ops.voxelize.voxel_coords).
 
     Returns order [N] int32 such that x_sorted = x[order].
+
+    If ``block_size / cell`` exceeds the 10-bit grid, the cell is COARSENED
+    so the grid still covers the whole block: clipping instead would collapse
+    every point past the covered range into one cell, making the "sort" the
+    identity on large scenes (the scene_shard fidelity bug).
     """
+    cell = max(float(cell), float(block_size) / (1 << _BITS))
     grid = min(int(-(-block_size // cell)) + 1, 1 << _BITS)
     c = jnp.floor((xyz + 0.5 * block_size) / cell).astype(jnp.int32)
     c = jnp.clip(c, 0, grid - 1)

@@ -114,6 +114,70 @@ def _pad_to_multiple(n: int, c: int) -> int:
     return -(-n // c) * c
 
 
+def _tile_shared_pool(opool_idx: jnp.ndarray, opool_mask: jnp.ndarray,
+                      tile: int, pool_size: int):
+    """Dedupe each tile's out-of-slab candidate targets into a shared pool.
+
+    Points within a Morton tile overlap heavily in their out-of-slab
+    neighbors (they are spatial near-duplicates), so the union of a tile's
+    overflow targets is far smaller than tile * op.  Pooling them lets every
+    conv gather [nt, P] rows once and serve per-point overflow reads as
+    local one-hot matmuls (see types.WindowedNeighborhood.pool_idx).
+
+    opool_idx:  [N, op] int32 global candidate indices (rank-compacted:
+                slot r holds the r-th nearest out-of-slab candidate).
+    opool_mask: [N, op] candidate validity.
+    Returns (pool_gidx [nt, P] int32 zero-padded,
+             ppos [N, op] int32 pool position per candidate; P where the
+             candidate is invalid or was dropped — one-hot null).
+
+    Drop policy when a tile's unique targets exceed P: nearest-rank-first
+    (every point's rank-0 target enters the pool before any rank-1 target),
+    matching EdgeOverflow's fairness rule — no spatial bias.
+    """
+    n, op = opool_idx.shape
+    nt = n // tile
+    m = tile * op
+    big = jnp.int32(2 ** 30)
+
+    cand = opool_idx.reshape(nt, m)
+    cvalid = opool_mask.reshape(nt, m)
+    rank = jnp.broadcast_to(jnp.arange(op, dtype=jnp.int32), (tile, op))
+    rank = jnp.broadcast_to(rank.reshape(1, m), (nt, m))
+    key = jnp.where(cvalid, cand, big)
+
+    # sort by (key, rank) with multi-operand lax.sort — the values ride the
+    # sort, so no post-sort take_along_axis (scalar gathers are
+    # row-DMA-bound on TPU).  First occurrence of each key carries its
+    # minimum per-point rank.
+    skey, srank = jax.lax.sort((key, rank), dimension=-1, num_keys=2)
+    is_first = jnp.concatenate(
+        [jnp.ones((nt, 1), bool), skey[:, 1:] != skey[:, :-1]], axis=1)
+    is_first &= skey < big
+
+    # pool membership priority: min-rank first; position tiebreak keeps the
+    # sort key unique (and deterministic)
+    pri = jnp.where(is_first,
+                    srank * jnp.int32(m) + jnp.arange(m, dtype=jnp.int32),
+                    big)
+    spri, pool_g = jax.lax.sort((pri, skey), dimension=-1, num_keys=1)
+    pool_g = pool_g[:, :pool_size]
+    pool_valid = spri[:, :pool_size] < big
+
+    # candidate -> pool position: pool entries are unique, so each candidate
+    # matches at most one — the index-extraction einsum IS the lookup
+    # (scalar gathers here would be row-DMA-bound; this runs on the MXU).
+    # f32 throughout: positions up to P must be exact (bf16 caps at 256).
+    eq = (cand[:, :, None] == pool_g[:, None, :]) & pool_valid[:, None, :]
+    eq_f = eq.astype(jnp.float32)
+    ppos = jnp.einsum("nmp,p->nm", eq_f,
+                      jnp.arange(pool_size, dtype=jnp.float32),
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
+    in_pool = jnp.any(eq, axis=-1)
+    ppos = jnp.where(in_pool & cvalid, ppos, pool_size)
+    return jnp.where(pool_valid, pool_g, 0), ppos.reshape(n, op)
+
+
 @partial(jax.jit, static_argnames=("k", "radius", "min_radius", "chunk"))
 def radius_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray, radius: float,
                      k: int, min_radius: float = 0.0,
@@ -300,27 +364,30 @@ def band_neighbors_auto(xyz: jnp.ndarray, mask: jnp.ndarray, bands,
                         cand_k: int = 64, chunk: int = 1024,
                         return_sxyz: bool = False, windowed: bool = True,
                         tile: int = 256, window: int = 256,
-                        ov_slots: int = 8, recall_target: float = 0.9):
+                        ov_slots: int = 8, recall_target: float = 0.9,
+                        sorted: bool = False, ov_pool_size: int = 0):
     """Dispatch between the windowed fast path and the global path.
 
-    Use from model code: when the level is Morton-sorted (SegmentationModel
-    sorts level 0; Morton voxel keys sort the rest), tile-aligned and large
-    enough to profit, neighborhoods come from
-    ``windowed_multi_band_neighbors``; small or ragged levels fall back to
-    the global ``multi_band_neighbors``.  PCS_DISABLE_WINDOWED=1 is an
-    emergency valve forcing the global path everywhere.
+    Use from model code: pass ``sorted=pyramid.level_sorted(i)`` — the
+    windowed path REQUIRES Morton-sorted points and is only taken when the
+    caller asserts sortedness (shape eligibility alone used to silently
+    select it on unsorted inputs, a large recall loss).  SegmentationModel
+    sorts level 0; Morton voxel keys sort levels >= 1.  Small or ragged
+    levels fall back to the global ``multi_band_neighbors``.
+    PCS_DISABLE_WINDOWED=1 is an emergency valve forcing the global path
+    everywhere.
     """
     import os
 
     if os.environ.get("PCS_DISABLE_WINDOWED", "") == "1":
         windowed = False
     n = xyz.shape[0]
-    if windowed and n % tile == 0 and n >= 4 * tile:
+    if windowed and sorted and n % tile == 0 and n >= 4 * tile:
         return windowed_multi_band_neighbors(
             xyz, mask, bands, tile=tile, window=window,
             cand_k=min(cand_k, n), ov_slots=ov_slots,
             chunk=min(chunk, n), recall_target=recall_target,
-            return_sxyz=return_sxyz)
+            return_sxyz=return_sxyz, ov_pool_size=ov_pool_size)
     return multi_band_neighbors(xyz, mask, bands, cand_k=min(cand_k, n),
                                 chunk=min(chunk, n),
                                 return_sxyz=return_sxyz)
@@ -329,7 +396,7 @@ def band_neighbors_auto(xyz: jnp.ndarray, mask: jnp.ndarray, bands,
 @partial(jax.jit, static_argnames=("bands", "tile", "window", "cand_k",
                                    "ov_slots", "chunk", "recall_target",
                                    "use_approx", "return_sxyz", "ov_mode",
-                                   "edge_ratio", "ov_window"))
+                                   "edge_ratio", "ov_window", "ov_pool_size"))
 def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
                                   bands, tile: int = 256, window: int = 256,
                                   cand_k: int = 64, ov_slots: int = 8,
@@ -339,7 +406,8 @@ def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
                                   return_sxyz: bool = False,
                                   ov_mode: str = "slots",
                                   edge_ratio: int = 2,
-                                  ov_window: int = 0):
+                                  ov_window: int = 0,
+                                  ov_pool_size: int = 0):
     """Multi-band fixed-K search for MORTON-SORTED points whose result is
     split into a windowed fast path + a small overflow path
     (types.WindowedNeighborhood), making downstream gathers MXU one-hot
@@ -492,9 +560,21 @@ def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
             out.append((wn, wsx, edges) if return_sxyz else (wn, edges))
         return tuple(out)
 
-    ov_pad = self_local2 if ov_window > 0 else row
+    # tile-shared overflow pool: dedupe the tile's targets, emit POOL
+    # POSITIONS from band compaction instead of global indices (see
+    # _tile_shared_pool / types.WindowedNeighborhood.pool_idx)
+    if ov_pool_size > 0 and ov_window == 0:
+        pool_gidx, ppos = _tile_shared_pool(opool_idx, opool_mask, tile,
+                                            ov_pool_size)
+        valid_ov &= ppos < ov_pool_size
+        ov_src = ppos
+        ov_pad = jnp.full((n,), ov_pool_size, jnp.int32)
+    else:
+        pool_gidx = None
+        ov_src = opool_idx
+        ov_pad = self_local2 if ov_window > 0 else row
     ocomp = _compact_bands(ed2_ov, valid_ov, jnp.zeros_like(valid_ov),
-                           opool_idx, sxyz_ov if return_sxyz else None,
+                           ov_src, sxyz_ov if return_sxyz else None,
                            mask, ov_pad, bands,
                            [min(ov_slots, k) for k in ks])
 
@@ -502,7 +582,7 @@ def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
     for (widx, wm, wsx), (oidx, om, osx) in zip(wcomp, ocomp):
         wn = WindowedNeighborhood(lidx=widx, wmask=wm, ov_idx=oidx,
                                   ov_mask=om, window=window, tile=tile,
-                                  ov_window=ov_window)
+                                  ov_window=ov_window, pool_idx=pool_gidx)
         if return_sxyz:
             out.append((wn, jnp.concatenate([wsx, osx], axis=1)))
         else:

@@ -51,12 +51,21 @@ class WindowedNeighborhood:
 
     lidx:    [N, K] int32 — slab-local neighbor indices in [0, tile+2*window)
     wmask:   [N, K] bool
-    ov_idx:  [N, Ko] int32 — out-of-slab neighbors.  With ``ov_window > 0``
-             these are slab-local in the WIDER tier
-             [t*tile - ov_window, t*tile + tile + ov_window) — gathers run
-             as one-hot matmuls there too; with ``ov_window == 0`` they are
-             plain global indices (row-DMA gathers).
+    ov_idx:  [N, Ko] int32 — out-of-slab neighbors.  Three representations:
+             with ``pool_idx`` set these are POSITIONS into the tile-shared
+             overflow pool (invalid slots hold P, the one-hot null row);
+             with ``ov_window > 0`` they are slab-local in the WIDER tier
+             [t*tile - ov_window, t*tile + tile + ov_window); otherwise they
+             are plain global indices (row-DMA gathers).
     ov_mask: [N, Ko] bool
+    pool_idx: optional [nt, P] int32 — tile-shared overflow pool: the global
+             point indices each tile's out-of-slab neighbors are drawn from
+             (deduped across the tile's points, nearest-rank priority).  Per
+             conv this costs ONE [nt*P]-row gather (~8x fewer rows than the
+             N*Ko slot gather) after which per-point overflow reads are
+             local one-hot matmuls over [P] — the windowed trick applied
+             through one indirection.  Invalid pool entries hold 0 and are
+             never referenced by a valid slot.
     window/tile/ov_window: STATIC pytree metadata (Python ints; a jit
     boundary keeps them static — they select the compiled slab geometry).
 
@@ -71,6 +80,7 @@ class WindowedNeighborhood:
     window: int = struct.field(pytree_node=False)
     tile: int = struct.field(pytree_node=False)
     ov_window: int = struct.field(pytree_node=False, default=0)
+    pool_idx: jnp.ndarray = None
 
     @property
     def k(self) -> int:
@@ -93,7 +103,14 @@ class WindowedNeighborhood:
         gidx = jnp.clip(gidx, 0, n - 1)
         gidx = jnp.where(self.wmask, gidx, self_i)
         ov = self.ov_idx
-        if self.ov_window > 0 and ov.shape[-1] > 0:
+        if self.pool_idx is not None and ov.shape[-1] > 0:
+            nt, p = self.pool_idx.shape
+            ko = ov.shape[-1]
+            pos = jnp.clip(ov.reshape(nt, -1), 0, p - 1)
+            ov = jnp.take_along_axis(self.pool_idx, pos, axis=1)
+            ov = ov.reshape(n, ko)
+            ov = jnp.where(self.ov_mask, ov, self_i)
+        elif self.ov_window > 0 and ov.shape[-1] > 0:
             ov = ov + (tile_start - self.ov_window)[:, None]
             ov = jnp.clip(ov, 0, n - 1)
             ov = jnp.where(self.ov_mask, ov, self_i)
@@ -143,7 +160,8 @@ class Level(NamedTuple):
     mask: jnp.ndarray  # [V] bool
 
 
-class Pyramid(NamedTuple):
+@struct.dataclass
+class Pyramid:
     """Static-shape voxel pooling hierarchy.
 
     TPU-native equivalent of the reference's in-graph
@@ -160,12 +178,24 @@ class Pyramid(NamedTuple):
     dxyz:   tuple of [V_i, 3] arrays; xyz minus the containing voxel center
             (the reference's ``dpts``, ComputeDiffXYZ.cc:21-33), zeros where
             invalid.  Raw (un-normalized) — models divide by voxel size.
+    morton_sorted: STATIC — True iff level 0 (the input points) is
+            Morton-sorted; the caller of build_pyramid asserts this.  The
+            windowed search fast path requires it (ops.search).  Levels >= 1
+            are ALWAYS Morton-sorted by construction: compute_segments ranks
+            voxels by Morton key order regardless of the input order — use
+            ``level_sorted(i)``.
     """
 
     levels: Tuple[Level, ...]
     seg: Tuple[jnp.ndarray, ...]
     dxyz: Tuple[jnp.ndarray, ...]
+    morton_sorted: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_levels(self) -> int:
         return len(self.levels)
+
+    def level_sorted(self, i: int) -> bool:
+        """Whether level i's points are in Morton order (windowed-search
+        eligibility)."""
+        return True if i >= 1 else self.morton_sorted

@@ -49,12 +49,8 @@ def voxel_coords(xyz: jnp.ndarray, voxel_size: float,
     return jnp.clip(c, 0, grid - 1), grid
 
 
-def pack_keys(coords: jnp.ndarray, grid: int,
-              labels: Optional[jnp.ndarray] = None,
-              num_classes: int = 0) -> jnp.ndarray:
-    """Pack [N,3] voxel coords (optionally + class label, the
-    ``ComputePermutationInfoWithClass`` variant,
-    ComputePermutationInfo.cc:166-252) into a sortable scalar key.
+def pack_keys(coords: jnp.ndarray, grid: int) -> jnp.ndarray:
+    """Pack [N,3] voxel coords into a sortable scalar key.
 
     Keys are MORTON (Z-order) codes, not the reference's lexicographic pack
     (ComputePermutationInfo.cu:9-24): any consistent key yields the same
@@ -62,34 +58,47 @@ def pack_keys(coords: jnp.ndarray, grid: int,
     local — the coarser pyramid levels come out Morton-sorted for free,
     which the windowed search/conv fast path requires
     (ops.search.windowed_multi_band_neighbors).
+
+    Class-pure keys (the ``ComputePermutationInfoWithClass`` variant,
+    ComputePermutationInfo.cc:166-252) are NOT packed into one scalar:
+    30 Morton bits * (C+1) overflows int32, and int64 silently truncates
+    under JAX's default x64-disabled config.  Pass the label as ``key2`` to
+    ``compute_segments`` instead (lexicographic two-key sort).
     """
     from .morton import morton_code
 
     assert grid <= 1024, grid
-    key = morton_code(coords)
-    if labels is not None:
-        # class-pure voxels: same cell, different label -> different key.
-        # int64 (30 morton bits * (C+1) can exceed int32); only the small
-        # refine-cascade pyramid takes this path.
-        key = key.astype(jnp.int64) * (num_classes + 1) \
-            + labels.astype(jnp.int64)
-    return key
+    return morton_code(coords)
 
 
 def compute_segments(key: jnp.ndarray, mask: jnp.ndarray,
-                     v_max: int) -> jnp.ndarray:
+                     v_max: int,
+                     key2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Map each point to a dense voxel slot via stable sort + unique-rank scan
     (the XLA analog of ComputePermutationInfo.cu:104-154's thrust pipeline).
 
     key:  [N] packed voxel keys.
     mask: [N] bool point validity.
+    key2: optional [N] secondary key (e.g. class labels for class-pure
+          voxels): points form a segment per distinct (key, key2) pair,
+          with no overflow-prone scalar packing.
     Returns seg [N] int32 in [0, v_max]; invalid/overflow -> v_max.
     """
     key = jnp.where(mask, key, jnp.iinfo(key.dtype).max)
-    order = jnp.argsort(key)  # stable
+    if key2 is None:
+        order = jnp.argsort(key)  # stable
+        is_new_tail = None
+    else:
+        key2 = jnp.where(mask, key2.astype(jnp.int32), 0)
+        # lexsort: last key is primary
+        order = jnp.lexsort((key2, key))
+        skey2 = key2[order]
+        is_new_tail = skey2[1:] != skey2[:-1]
     skey = key[order]
-    is_new = jnp.concatenate(
-        [jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    is_new = skey[1:] != skey[:-1]
+    if is_new_tail is not None:
+        is_new = is_new | is_new_tail
+    is_new = jnp.concatenate([jnp.ones((1,), bool), is_new])
     rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     valid_sorted = mask[order]
     rank = jnp.where(valid_sorted & (rank < v_max), rank, v_max)
@@ -157,9 +166,10 @@ def voxelize_with_labels(xyz: jnp.ndarray, mask: jnp.ndarray,
     """
     from . import segments as seg_ops
 
+    del num_classes  # partition needs only label distinctness, not the count
     coords, grid = voxel_coords(xyz, voxel_size, block_size)
-    key = pack_keys(coords, grid, labels=labels, num_classes=num_classes)
-    seg = compute_segments(key, mask, v_max)
+    key = pack_keys(coords, grid)
+    seg = compute_segments(key, mask, v_max, key2=labels)
     counts = seg_ops.segment_count(seg, v_max)
     centers = seg_ops.segment_sum(
         xyz * mask[:, None].astype(xyz.dtype), seg, v_max)

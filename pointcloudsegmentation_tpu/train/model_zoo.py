@@ -53,7 +53,8 @@ class SegmentationModel(nn.Module):
             inv = morton.inverse_permutation(order)
 
         pyr = hier.build_pyramid(xyz, mask, self.voxel_sizes, self.caps,
-                                 self.block_size)
+                                 self.block_size,
+                                 morton_sorted=self.morton_sort)
         gf, lf = self.encoder(pyr, feats)
         logits = SegClassifier(self.num_classes, name="head")(gf, lf, train)
         if self.diffusion_steps > 0:
@@ -96,14 +97,24 @@ class RefineCascadeModel(nn.Module):
     block_size: float
     refine_voxel: float = 0.75
     refine_cap: int = 0  # 0 -> caps[-1]
+    morton_sort: bool = True
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, feats: jnp.ndarray,
                  mask: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         from ..models import SemanticPoolRefine
+        from ..ops import morton
+
+        inv = None
+        if self.morton_sort:
+            cell = self.voxel_sizes[0] / 4.0
+            xyz, mask, order, feats = morton.sort_block(
+                xyz, mask, cell, self.block_size, feats)
+            inv = morton.inverse_permutation(order)
 
         pyr = hier.build_pyramid(xyz, mask, self.voxel_sizes, self.caps,
-                                 self.block_size)
+                                 self.block_size,
+                                 morton_sorted=self.morton_sort)
         gf, lf = self.encoder(pyr, feats)
         base_logits = SegClassifier(self.num_classes, name="head")(
             gf, lf, train)
@@ -120,7 +131,10 @@ class RefineCascadeModel(nn.Module):
         rlf = jnp.concatenate([lf, rlf], axis=-1)
         refine_logits = SegClassifier(self.num_classes,
                                       name="refine_head")(rgf, rlf, train)
-        return jnp.stack([refine_logits, base_logits])
+        out = jnp.stack([refine_logits, base_logits])
+        if inv is not None:
+            out = jnp.take(out, inv, axis=1)
+        return out
 
 
 class DenseSegModel(nn.Module):
@@ -136,6 +150,7 @@ class DenseSegModel(nn.Module):
     voxel_sizes: Tuple[float, ...]
     caps: Tuple[int, ...]
     block_size: float
+    morton_sort: bool = True
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, feats: jnp.ndarray,
@@ -143,13 +158,24 @@ class DenseSegModel(nn.Module):
                  dense_feats: jnp.ndarray, dense_mask: jnp.ndarray,
                  train: bool = False) -> jnp.ndarray:
         from ..models import DenseFeats
+        from ..ops import morton
 
         feats = DenseFeats(name="dense_feats")(
             dense_xyz, dense_feats, dense_mask, xyz, feats, mask)
+        inv = None
+        if self.morton_sort:
+            cell = self.voxel_sizes[0] / 4.0
+            xyz, mask, order, feats = morton.sort_block(
+                xyz, mask, cell, self.block_size, feats)
+            inv = morton.inverse_permutation(order)
         pyr = hier.build_pyramid(xyz, mask, self.voxel_sizes, self.caps,
-                                 self.block_size)
+                                 self.block_size,
+                                 morton_sorted=self.morton_sort)
         gf, lf = self.encoder(pyr, feats)
-        return SegClassifier(self.num_classes, name="head")(gf, lf, train)
+        logits = SegClassifier(self.num_classes, name="head")(gf, lf, train)
+        if inv is not None:
+            logits = jnp.take(logits, inv, axis=0)
+        return logits
 
 
 class ClassificationModel(nn.Module):
@@ -175,11 +201,30 @@ def build_model(cfg: TrainConfig, search_chunk: int = 1024) -> nn.Module:
     import os
 
     d = cfg.data
-    # perf-tuning knobs for A/B runs without code edits
+    # perf-tuning knobs for A/B runs without code edits.  The windowed
+    # backward's dense overlap-add requires window % tile == 0, so either
+    # the window is a multiple of the 256 tile, or (for window < 256 A/Bs)
+    # the tile shrinks to the window.
     _win = int(os.environ.get("PCS_WIN_WINDOW", 256))
     _enc_kw = dict(search_chunk=search_chunk)
     if _win != 256:
-        _enc_kw["win_window"] = _win
+        if _win <= 0:
+            raise ValueError(f"PCS_WIN_WINDOW={_win}: must be positive")
+        if _win % 256 == 0:
+            _enc_kw["win_window"] = _win
+        elif 256 % _win == 0:
+            _enc_kw["win_window"] = _win
+            _enc_kw["win_tile"] = _win
+        else:
+            raise ValueError(
+                f"PCS_WIN_WINDOW={_win}: must be a multiple of the tile "
+                "(256) or a divisor of it — window % tile == 0 is required "
+                "by the windowed conv backward's dense overlap-add")
+    # tile-shared overflow pool size (0 = per-point global slot gathers)
+    _ovp = int(os.environ.get("PCS_OV_POOL", 0))
+    if _ovp < 0:
+        raise ValueError(f"PCS_OV_POOL={_ovp}: must be >= 0")
+    _enc_kw["ov_pool_size"] = _ovp
     common = dict(num_classes=d.num_classes, voxel_sizes=d.voxel_sizes,
                   caps=d.caps, block_size=d.block_size)
     seg_extra = dict(diffusion_steps=getattr(cfg, "diffusion_steps", 0))

@@ -95,3 +95,30 @@ def test_majority_label(rng):
         if len(sel):
             counts = np.bincount(sel, minlength=c)
             assert counts[got[vi]] == counts.max()
+
+
+def test_class_pure_segments_no_int32_overflow(rng):
+    """Class-pure voxelization at a FINE grid (morton codes near 2^30):
+    the old packed-scalar key (key*(C+1)+label) silently wrapped int32
+    under JAX's default x64-disabled config; the lexicographic two-key
+    sort must keep the partition exact."""
+    n, c = 400, 13
+    block = 3.0
+    xyz = (rng.rand(n, 3).astype(np.float32) - 0.5) * block
+    mask = np.ones(n, bool)
+    labels = rng.randint(0, c, n).astype(np.int32)
+    # voxel 0.005 -> grid 601 -> morton codes up to ~2^29; *14 wraps int32
+    info = vox.voxelize_with_labels(
+        jnp.asarray(xyz), jnp.asarray(mask), jnp.asarray(labels),
+        0.005, block, n + 8, num_classes=c)
+    seg = np.asarray(info.seg)
+    # exact partition oracle over (voxel coord triple, label)
+    coords = np.floor((xyz + 0.5 * block) / 0.005).astype(np.int64)
+    keys = [tuple(coords[i]) + (labels[i],) for i in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            same = keys[i] == keys[j]
+            assert (seg[i] == seg[j]) == same, (i, j, keys[i], keys[j])
+    # every segment is class-pure
+    for s in np.unique(seg):
+        assert len(np.unique(labels[seg == s])) == 1

@@ -276,14 +276,99 @@ def test_edge_truncation_drops_farthest_rank(rng):
 
 
 def test_band_neighbors_auto_fallback(rng):
-    """Small / non-tile-aligned levels must fall back to the global path."""
+    """Small / non-tile-aligned / UNSORTED levels must fall back to the
+    global path; the windowed path needs the caller's sorted=True."""
     from pointcloudsegmentation_tpu.ops.types import Neighborhood
 
     xyz, mask = random_cloud(rng, 200, n_valid=180)
     (nbr,) = search.band_neighbors_auto(
-        jnp.asarray(xyz), jnp.asarray(mask), ((0.0, 0.4, 8),), cand_k=32)
+        jnp.asarray(xyz), jnp.asarray(mask), ((0.0, 0.4, 8),), cand_k=32,
+        sorted=True)
     assert isinstance(nbr, Neighborhood)
     xs, ms, _ = _sorted_cloud(rng, 1024, n_valid=1024)
     (wnbr,) = search.band_neighbors_auto(
-        jnp.asarray(xs), jnp.asarray(ms), ((0.0, 0.4, 8),), cand_k=32)
+        jnp.asarray(xs), jnp.asarray(ms), ((0.0, 0.4, 8),), cand_k=32,
+        sorted=True)
     assert isinstance(wnbr, WindowedNeighborhood)
+    # sortedness not asserted -> global path even when shape-eligible
+    # (unsorted points through the windowed path are a silent recall loss)
+    (gnbr,) = search.band_neighbors_auto(
+        jnp.asarray(xs), jnp.asarray(ms), ((0.0, 0.4, 8),), cand_k=32)
+    assert isinstance(gnbr, Neighborhood)
+
+
+def test_morton_order_coarsens_large_scenes(rng):
+    """morton_order must COARSEN the cell (not clip coords) when
+    block_size/cell exceeds the 10-bit grid: with clipping, a 24 m scene
+    at scene_extent=1024/cell=0.05 collapsed into ONE cell and the 'sort'
+    was the identity (ADVICE r2, scene_shard fidelity bug)."""
+    from pointcloudsegmentation_tpu.ops import morton
+
+    n = 2048
+    xyz = (rng.rand(n, 3).astype(np.float32) - 0.5) * 24.0
+    mask = np.ones(n, bool)
+    order = np.asarray(morton.morton_order(
+        jnp.asarray(xyz), jnp.asarray(mask), 0.05, 1024.0))
+    assert not np.array_equal(order, np.arange(n))  # actually sorts
+    # sorted points are spatially local: mean index-neighbor distance far
+    # below the random-order expectation (~half the scene diagonal)
+    xs = xyz[order]
+    step = np.linalg.norm(np.diff(xs, axis=0), axis=1)
+    assert step.mean() < 0.25 * np.linalg.norm([24.0] * 3)
+
+
+def test_tile_shared_pool_matches_slots(rng):
+    """With a pool big enough to hold every tile's overflow targets, the
+    pool path must produce the SAME edge set as per-point slots, bit-exact
+    gathers included (the pool is a gather-count optimization, not an
+    approximation)."""
+    n = 1024
+    xs, ms, _ = _sorted_cloud(rng, n, n_valid=n - 50)
+    bands = ((0.0, 0.3, 16), (0.3, 0.45, 12))
+    slots = search.windowed_multi_band_neighbors(
+        jnp.asarray(xs), jnp.asarray(ms), bands, return_sxyz=True)
+    pool = search.windowed_multi_band_neighbors(
+        jnp.asarray(xs), jnp.asarray(ms), bands, return_sxyz=True,
+        ov_pool_size=n)
+    feats = jnp.asarray(rng.rand(n, 8).astype(np.float32))
+    for (ns, sxs), (np_, sxp) in zip(slots, pool):
+        assert np_.pool_idx is not None
+        m_s = np.asarray(ns.mask)
+        m_p = np.asarray(np_.mask)
+        assert np.array_equal(m_s, m_p)
+        assert np.array_equal(np.asarray(ns.to_neighborhood().idx)[m_s],
+                              np.asarray(np_.to_neighborhood().idx)[m_p])
+        gs = np.asarray(nb.gather_neighbors(feats, ns))
+        gp = np.asarray(nb.gather_neighbors(feats, np_))
+        assert np.array_equal(gs[m_s], gp[m_p])
+        assert np.allclose(np.asarray(sxs), np.asarray(sxp))
+
+
+def test_tile_shared_pool_drop_priority(rng):
+    """When a tile's unique overflow targets exceed P, drops must be
+    nearest-rank-first: any point whose rank-r entry survives must also
+    keep all ranks < r present in the pool (no spatial/index bias)."""
+    n = 1024
+    xs, ms, _ = _sorted_cloud(rng, n, n_valid=n)
+    bands = ((0.0, 0.5, 16),)
+    small_p = 16
+    (np_, _), = search.windowed_multi_band_neighbors(
+        jnp.asarray(xs), jnp.asarray(ms), bands, return_sxyz=True,
+        ov_pool_size=small_p)
+    (ns, _), = search.windowed_multi_band_neighbors(
+        jnp.asarray(xs), jnp.asarray(ms), bands, return_sxyz=True)
+    # pool path loses edges only (never invents them)
+    es = {(r, c) for r, c in zip(*np.where(np.asarray(ns.mask)))}
+    ep = {(r, c) for r, c in zip(*np.where(np.asarray(np_.mask)))}
+    ko = ns.ov_idx.shape[-1]
+    k = ns.lidx.shape[-1]
+    gp = np.asarray(np_.to_neighborhood().idx)
+    gs_all = np.asarray(ns.to_neighborhood().idx)
+    pool = np.asarray(np_.pool_idx)
+    valid_pool = set()
+    for t in range(pool.shape[0]):
+        valid_pool |= {(t, int(v)) for v in pool[t]}
+    # every surviving overflow edge's target is in its tile's pool
+    for (r, c) in ep:
+        if c >= k:
+            assert (r // 256, int(gp[r, c])) in valid_pool
