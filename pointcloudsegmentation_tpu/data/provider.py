@@ -14,7 +14,7 @@ from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from .batching import pad_block, stack_blocks
+from .batching import pad_block, pad_context, stack_blocks
 
 _STOP = object()
 
@@ -26,7 +26,8 @@ class Provider:
     def __init__(self, file_list: Sequence[str], model: str, batch_size: int,
                  read_fn: Callable[[str, str], List[Dict]], num_points: int,
                  cache_batch_num: int = 2, seed: int = 0,
-                 max_queue: int = 4, dense_num_points: int = 0):
+                 max_queue: int = 4, dense_num_points: int = 0,
+                 ctx_num_points: int = 512):
         assert model in ("train", "test")
         self.file_list = list(file_list)
         self.model = model
@@ -36,6 +37,9 @@ class Provider:
         # static capacity for the dense cloud of dense-pipeline blocks
         # (read_fns yielding dense_xyz/dense_feats); 0 = 4x num_points
         self.dense_num_points = dense_num_points or 4 * num_points
+        # static capacity for context sub-clouds (read_fns yielding ctx_*);
+        # 512 covers a 50 m window at 5 m voxels with z slack
+        self.ctx_num_points = ctx_num_points
         self.rng = np.random.RandomState(seed)
         self.max_queue = max_queue
         self._q: queue.Queue = queue.Queue(maxsize=max_queue)
@@ -59,7 +63,14 @@ class Provider:
                 for b in blocks:
                     pb = pad_block(b["xyz"], b.get("feats"),
                                    b.get("labels"), self.num_points,
-                                   self.rng)
+                                   self.rng,
+                                   point_fields={"ctx_idx": b["ctx_idx"]}
+                                   if "ctx_idx" in b else None)
+                    if "ctx_xyz" in b:
+                        pb.update(pad_context(
+                            b["ctx_xyz"], b["ctx_feats"],
+                            pb.pop("ctx_idx"), self.ctx_num_points,
+                            pb["xyz"]))
                     if "dense_xyz" in b:
                         dp = pad_block(b["dense_xyz"], b["dense_feats"],
                                        None, self.dense_num_points,

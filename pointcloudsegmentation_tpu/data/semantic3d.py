@@ -230,6 +230,86 @@ def context_indices(block_xyz: np.ndarray, ctx_xyz: np.ndarray
     return d2.argmin(1).astype(np.int32)
 
 
+def prepare_context_scene(points: np.ndarray, labels: np.ndarray,
+                          block_size: float = 10.0, stride: float = 5.0,
+                          ds_stride: float = 0.06, ctx_ds: float = 5.0,
+                          ctx_block: float = 50.0, min_pn: int = 1024,
+                          rng: Optional[np.random.RandomState] = None,
+                          rotate: bool = True,
+                          covar_nn_size: float = 0.3) -> List[Dict]:
+    """Scan -> 10 m training blocks EACH PAIRED with its 50 m context
+    sub-cloud and per-point nearest-context indices — the offline context
+    prep (semantic3d_context_util.py:578-583 sample_context_block fan-out).
+
+    The optional z-rotation is applied to the WHOLE scan before both the
+    block sampler and the context downsample, so block and context stay in
+    one rigid frame; ctx_xyz is stored block-relative (same origin as the
+    block's xyz), ready for ContextFusionModel.
+    """
+    rng = rng or np.random.RandomState()
+    pts = np.asarray(points, np.float32)
+    if rotate and rng.rand() > 0.3:
+        pts = pts.copy()
+        pts[:, :3] = augment.rotate_z(
+            np.ascontiguousarray(pts[:, :3]), rng.rand() * np.pi / 2.0)
+    blocks = sample_training_blocks(pts, labels, block_size=block_size,
+                                    stride=stride, ds_stride=ds_stride,
+                                    min_pn=min_pn, rng=rng, rotate=False,
+                                    covar_nn_size=covar_nn_size)
+    ctx = context_cloud(pts, ctx_ds)            # [m, 7] mean x y z i r g b
+    ctx_abs = ctx[:, :3]
+    it = ctx[:, 3:4]
+    it = (it - it.mean()) / (it.std() + 1e-6)
+    ctx_feats_all = np.concatenate([ctx[:, 4:7] / 127.5 - 1.0, it],
+                                   1).astype(np.float32)
+    for b in blocks:
+        mn = b["block_min"]
+        rel = ctx_abs - mn[None, :]
+        sel = (np.abs(rel[:, 0]) <= ctx_block / 2.0) \
+            & (np.abs(rel[:, 1]) <= ctx_block / 2.0)
+        if not sel.any():                        # degenerate scan: keep the
+            sel = np.zeros(len(rel), bool)       # nearest voxel so the
+            sel[np.argmin((rel[:, :2] ** 2).sum(1))] = True  # gather works
+        cx = rel[sel].astype(np.float32)
+        b["ctx_xyz"] = cx
+        b["ctx_feats"] = ctx_feats_all[sel]
+        b["ctx_idx"] = context_indices(b["xyz"], cx)
+    return blocks
+
+
+def context_blocks_from_pkl(model: str, filename: str,
+                            rng: Optional[np.random.RandomState] = None
+                            ) -> List[Dict]:
+    """Provider read_fn for context-block pkls
+    (train_gpn_semantic3d_context.py:50-71 feed): train-time flips are
+    applied to block AND context cloud together (one rigid frame — the
+    nearest-context relation is mirror-invariant), color jitter on the
+    block features only."""
+    rng = rng or np.random.RandomState()
+    with open(filename, "rb") as f:
+        blocks = pickle.load(f)
+    out = []
+    for b in blocks:
+        xyz, feats = b["xyz"], b["feats"]
+        cx, cf = b["ctx_xyz"], b["ctx_feats"]
+        if model == "train":
+            if rng.rand() < 0.5:
+                xyz = augment.flip(xyz, 0)
+                cx = augment.flip(cx, 0)
+            if rng.rand() < 0.5:
+                xyz = augment.flip(xyz, 1)
+                cx = augment.flip(cx, 1)
+            feats = feats.copy()
+            feats[:, :3] += rng.uniform(-0.02, 0.02, (len(feats), 3))
+        out.append({"xyz": xyz.astype(np.float32),
+                    "feats": feats.astype(np.float32),
+                    "labels": b["labels"].astype(np.int32),
+                    "ctx_xyz": cx.astype(np.float32),
+                    "ctx_feats": cf.astype(np.float32),
+                    "ctx_idx": np.asarray(b["ctx_idx"], np.int32)})
+    return out
+
+
 def save_blocks(path: str, blocks: List[Dict]) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:

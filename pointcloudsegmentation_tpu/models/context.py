@@ -66,7 +66,10 @@ class ContextFusionModel(nn.Module):
     caps: Tuple[int, ...] = (5120, 1280)
     block_size: float = 10.0
     ctx_voxel_size: float = 5.0
-    ctx_cap: int = 128
+    # a 50 m window at 5 m voxels holds up to ~11*11*z occupied cells and
+    # the input cloud is already 5 m-averaged (1 point/voxel) — 512 keeps
+    # the voxel level from silently saturating on large scenes
+    ctx_cap: int = 512
     ctx_block_size: float = 50.0
     # Morton-sort the block (in-jit) so the main branch's windowed search
     # fast path applies; ctx_idx is per-point and permutes along; logits are

@@ -111,6 +111,10 @@ def _read_fn_for(cfg, config_name: str):
     d = cfg.data
     if cfg.model == "dense_semantic3d":
         return semantic3d.dense_blocks_from_pkl
+    if cfg.model == "context_semantic3d":
+        # context-block pkls from `prepare_data.py semantic3d_context`
+        # (train_gpn_semantic3d_context.py:50-71)
+        return semantic3d.context_blocks_from_pkl
     return {
         "s3dis": partial(s3dis.blocks_from_room_pkl,
                          use_covars=d.feat_dim > 3),

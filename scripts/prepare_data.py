@@ -60,6 +60,21 @@ def prep_semantic3d_one(out_dir, path):
     return out, len(blocks)
 
 
+def prep_semantic3d_context_one(out_dir, path):
+    """Scan -> context-paired 10 m block pkls (the reference's multiprocess
+    context fan-out, semantic3d_context_util.py:578-583)."""
+    labels_path = os.path.splitext(path)[0] + ".labels"
+    points, labels = semantic3d.read_points_txt(path, labels_path)
+    if labels is None:
+        labels = np.zeros(len(points), np.int32)
+    blocks = semantic3d.prepare_context_scene(
+        points, labels, rng=np.random.RandomState(hash(path) % 2**31))
+    stem = os.path.splitext(os.path.basename(path))[0]
+    out = os.path.join(out_dir, stem + ".pkl")
+    semantic3d.save_blocks(out, blocks)
+    return out, len(blocks)
+
+
 def prep_scannet_one(out_dir, augment_geometry, path):
     """Per-scene pkl of (xyz [n,3], labels [n]) -> cropped no-RGB blocks +
     per-scene label counts (scannet_data_util.py:19-179)."""
@@ -115,6 +130,7 @@ def prep_modelnet_one(out_dir, path):
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("dataset", choices=["s3dis", "scannet", "semantic3d",
+                                       "semantic3d_context",
                                        "semantic3d_test", "modelnet40"])
     p.add_argument("--raw-dir", required=True)
     p.add_argument("--out-dir", required=True)
@@ -142,6 +158,8 @@ def main():
           "scannet": partial(prep_scannet_one, args.out_dir,
                              args.augment_geometry),
           "semantic3d": partial(prep_semantic3d_one, args.out_dir),
+          "semantic3d_context": partial(prep_semantic3d_context_one,
+                                        args.out_dir),
           "semantic3d_test": partial(prep_semantic3d_test_one, args.out_dir,
                                      args.rotations),
           "modelnet40": partial(prep_modelnet_one, args.out_dir)}[

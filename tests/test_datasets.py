@@ -238,3 +238,58 @@ def test_dense_model_trains():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_semantic3d_context_pipeline(rng, tmp_path):
+    """Context prep -> pkl -> read_fn -> Provider, end-to-end (the offline
+    context fan-out semantic3d_context_util.py:578-583 + the trainer feed
+    train_gpn_semantic3d_context.py:50-71): every block carries a
+    block-relative 50 m context sub-cloud and per-point nearest-context
+    indices that survive padding, subsampling and the oversize-remap."""
+    from pointcloudsegmentation_tpu.data import semantic3d
+    from pointcloudsegmentation_tpu.data.provider import Provider
+
+    # synthetic scan: 60 m x 60 m ground + scattered structures
+    n = 20000
+    xyz = np.stack([rng.rand(n) * 60.0, rng.rand(n) * 60.0,
+                    rng.rand(n) * 8.0], 1).astype(np.float32)
+    irgb = np.concatenate([rng.rand(n, 1) * 100.0,
+                           rng.randint(0, 255, (n, 3))], 1)
+    points = np.concatenate([xyz, irgb], 1).astype(np.float32)
+    labels = rng.randint(0, 9, n).astype(np.int32)
+
+    blocks = semantic3d.prepare_context_scene(
+        points, labels, min_pn=64, rng=np.random.RandomState(0))
+    assert blocks, "no context blocks produced"
+    for b in blocks:
+        assert b["ctx_xyz"].shape[0] == b["ctx_feats"].shape[0]
+        assert b["ctx_feats"].shape[1] == 4          # rgb + intensity
+        assert b["ctx_idx"].shape[0] == b["xyz"].shape[0]
+        assert (b["ctx_idx"] >= 0).all()
+        assert (b["ctx_idx"] < len(b["ctx_xyz"])).all()
+        # index really is the nearest context point (block-relative frame)
+        d2 = ((b["xyz"][:, None, :] - b["ctx_xyz"][None, :, :]) ** 2).sum(-1)
+        assert np.array_equal(b["ctx_idx"], d2.argmin(1))
+
+    pkl = str(tmp_path / "scene.pkl")
+    semantic3d.save_blocks(pkl, blocks)
+
+    # tiny ctx cap forces the oversize remap path
+    cap = 8
+    prov = Provider([pkl], "train", 2, semantic3d.context_blocks_from_pkl,
+                    num_points=256, ctx_num_points=cap)
+    batch = next(iter(prov))
+    prov.close()
+    assert batch["ctx_xyz"].shape == (2, cap, 3)
+    assert batch["ctx_feats"].shape == (2, cap, 4)
+    assert batch["ctx_mask"].shape == (2, cap)
+    assert batch["ctx_idx"].shape == (2, 256)
+    assert (batch["ctx_idx"] >= 0).all() and (batch["ctx_idx"] < cap).all()
+    # remapped indices point at the nearest KEPT context point for every
+    # valid block point
+    for bi in range(2):
+        m = batch["mask"][bi]
+        cx = batch["ctx_xyz"][bi][batch["ctx_mask"][bi]]
+        d2 = ((batch["xyz"][bi][m][:, None, :] - cx[None, :, :]) ** 2
+              ).sum(-1)
+        assert np.array_equal(batch["ctx_idx"][bi][m], d2.argmin(1))
