@@ -44,6 +44,10 @@ class ConvSpec:
     fc_dims: Tuple[int, ...] = (8, 8, 16)
     out: int = 32
     nofeats: bool = False             # xyz-only first conv (scannet variant)
+    # plain-MLP edge stack without the growth concat
+    # (pointnet_conv_noconcat, model_pointnet.py:41-54 — the conv family of
+    # the pointnet_20_baseline ablation)
+    noconcat: bool = False
 
 
 @dataclass(frozen=True)
@@ -76,6 +80,13 @@ class Arch:
     # ScanNet has no input features, hence no avg-pooled raw-feature cascade
     # (model_pointnet.py:1440 signature vs :930-933)
     use_avg_feats: bool = True
+    # decoder: "concat" = unpool-concat (model_pointnet.py:1030-1036);
+    # "deconv" = per-level growth-MLP refinement of [up ‖ stage ‖ dxyz]
+    # (pointnet_deconv / pointnet_10_concat_pre_deconv,
+    # model_pointnet.py:87-104, :620-636)
+    decoder: str = "concat"
+    deconv_dims: Tuple[Tuple[int, ...], ...] = ((128, 128), (64, 128))
+    deconv_out: int = 256
 
 
 # pointnet_13_dilated_embed (model_pointnet.py:930-1037).  Ks sized from the
@@ -203,6 +214,154 @@ SEMANTIC3D_DILATE_ARCH = Arch(
     ),
     global_dims=(32, 32, 64), global_out=128,
 )
+
+
+# pointnet_20_baseline (model_pointnet.py:106-214): the no-growth ablation —
+# 20 plain-MLP convs (pointnet_conv_noconcat), two radius tiers per stage,
+# no annuli, no fc_embed.  K caps follow the flagship's per-radius choices.
+def _nc(radius, k, fc_dims, out):
+    return ConvSpec(radius=radius, k=k, fc_dims=fc_dims, out=out,
+                    noconcat=True)
+
+
+S3DIS_BASELINE20_ARCH = Arch(
+    stages=(
+        StageSpec(rescale=0.15, convs=(
+            _nc(0.15, 32, (8, 8), 8), _nc(0.15, 32, (8, 8), 8),
+            _nc(0.15, 32, (10, 12), 12), _nc(0.15, 32, (10, 12), 12),
+            _nc(0.1, 16, (16, 16), 16), _nc(0.1, 16, (16, 16), 16),
+            _nc(0.1, 16, (16, 16), 16), _nc(0.1, 16, (16, 16), 16),
+        ), pool_fc_dims=(16, 16), pool_out=64),
+        StageSpec(rescale=0.45, convs=(
+            _nc(0.6, 32, (16, 16), 16), _nc(0.6, 32, (16, 16), 16),
+            _nc(0.6, 32, (16, 16), 16), _nc(0.6, 32, (16, 16), 16),
+            _nc(0.3, 16, (24, 24), 24), _nc(0.3, 16, (24, 24), 24),
+            _nc(0.3, 16, (32, 32), 32), _nc(0.3, 16, (32, 32), 32),
+        ), pool_fc_dims=(32, 32), pool_out=128),
+        StageSpec(rescale=0.9, convs=(
+            _nc(0.9, 32, (32, 32), 32), _nc(0.9, 32, (32, 32), 32),
+            _nc(0.9, 32, (48, 48), 48), _nc(0.9, 32, (48, 48), 48),
+        ), pool_fc_dims=None),
+    ),
+    global_dims=(64, 64, 128), global_out=256,
+)
+
+
+# pointnet_10_concat_pre_deconv (model_pointnet.py:563-637): the growth-conv
+# 10-layer net (no embed, no annuli) with the DECONV decoder.
+S3DIS_CONCAT10_DECONV_ARCH = Arch(
+    stages=(
+        StageSpec(rescale=0.15, convs=(
+            ConvSpec(radius=0.15, k=32, fc_dims=(4, 4, 8), out=16),
+            ConvSpec(radius=0.15, k=32, fc_dims=(4, 4, 8), out=16),
+            ConvSpec(radius=0.1, k=16, fc_dims=(8, 8, 16), out=32),
+            ConvSpec(radius=0.1, k=16, fc_dims=(8, 8, 16), out=32),
+        ), pool_fc_dims=(16, 16), pool_out=64),
+        StageSpec(rescale=0.45, convs=(
+            ConvSpec(radius=0.6, k=32, fc_dims=(8, 8, 16), out=32),
+            ConvSpec(radius=0.6, k=32, fc_dims=(8, 8, 16), out=32),
+            ConvSpec(radius=0.3, k=16, fc_dims=(16, 16, 24), out=48),
+            ConvSpec(radius=0.3, k=16, fc_dims=(16, 16, 32), out=64),
+        ), pool_fc_dims=(32, 32), pool_out=128),
+        StageSpec(rescale=0.9, convs=(
+            ConvSpec(radius=0.9, k=32, fc_dims=(32, 32, 32), out=64),
+            ConvSpec(radius=0.9, k=32, fc_dims=(32, 32, 48), out=96),
+        ), pool_fc_dims=None),
+    ),
+    global_dims=(64, 64), global_out=256,
+    decoder="deconv", deconv_dims=((128, 128), (64, 128)), deconv_out=256,
+)
+
+
+def no_dilation(arch: Arch) -> Arch:
+    """Derive the embed-only ablation: the same net with every annulus
+    collapsed to a plain radius search (pointnet_13_embed,
+    model_pointnet.py:1236-1330, vs the dilated flagship :930-1037)."""
+    from dataclasses import replace
+
+    stages = tuple(
+        replace(st, convs=tuple(replace(c, min_radius=0.0)
+                                for c in st.convs))
+        for st in arch.stages)
+    return replace(arch, stages=stages)
+
+
+S3DIS_EMBED_ARCH = no_dilation(S3DIS_ARCH)
+
+
+class PointNet2Baseline(nn.Module):
+    """pointnet2_v2 (model_pgnet.py:1133-1223): the PointNet++-style
+    baseline — per unit, a narrow pointnet_conv feeds a second wider
+    pointnet_conv and BOTH outputs join the growth concat; stage 2 pairs
+    pointnet_conv with mlp_anchor_conv.  Produces the standard
+    (local_feats, stage0_feats) contract."""
+
+    search_chunk: int = 1024
+    cand_k: int = 64
+
+    # (radius, k, fc_a, out_a, fc_b, out_b) per unit; stage 2 units use
+    # (radius, k, fc_a, out_a, anchor_weights, anchor_out, anchor_num)
+    STAGE0 = ((0.15, 32, (8,), 8, (8, 16), 16),
+              (0.15, 32, (8,), 8, (8, 16), 16),
+              (0.1, 16, (16,), 16, (16, 32), 32),
+              (0.1, 16, (16,), 16, (16, 32), 32))
+    STAGE1 = ((0.6, 32, (16,), 16, (16, 32), 32),
+              (0.6, 32, (16,), 16, (16, 32), 32),
+              (0.3, 16, (16,), 16, (24, 48), 48),
+              (0.3, 16, (20,), 20, (32, 64), 64))
+    STAGE2 = ((0.9, 32, (24,), 24, (32,), 64, 12),
+              (0.9, 32, (24,), 24, (48,), 96, 16))
+
+    @nn.compact
+    def __call__(self, pyramid: Pyramid, feats: jnp.ndarray):
+        from .ecd import MLPAnchorConv
+
+        def stage_nbrs(s, specs):
+            lvl = pyramid.levels[s]
+            uniq = []
+            for sp in specs:
+                if sp not in uniq:
+                    uniq.append(sp)
+            bands = tuple((0.0, r, k) for (r, k) in uniq)
+            res = search.band_neighbors_auto(
+                lvl.xyz, lvl.mask, bands, cand_k=min(self.cand_k,
+                                                     lvl.xyz.shape[0]),
+                chunk=min(self.search_chunk, lvl.xyz.shape[0]),
+                return_sxyz=True, sorted=pyramid.level_sorted(s))
+            return dict(zip(uniq, res))
+
+        stage_feats = []
+        ci = 0
+        for s, units in enumerate((self.STAGE0, self.STAGE1, self.STAGE2)):
+            nbrs = stage_nbrs(s, [(u[0], u[1]) for u in units])
+            for u in units:
+                nbr, sxyz_raw = nbrs[(u[0], u[1])]
+                sxyz = sxyz_raw / u[0]
+                pn = PointNetConv(u[2], u[3], name=f"pn{ci}")(
+                    sxyz, feats, nbr)
+                if len(u) == 7:        # stage-2 anchor unit
+                    second = MLPAnchorConv(u[4], u[5], u[6],
+                                           name=f"anchor{ci}")(sxyz, pn, nbr)
+                else:
+                    second = PointNetConv(u[4], u[5], name=f"pn{ci}b")(
+                        sxyz, pn, nbr)
+                feats = jnp.concatenate([feats, second, pn], axis=-1)
+                ci += 1
+            stage_feats.append(feats)
+            if s < 2:
+                pooled = PointNetPoolMLP(
+                    (16, 16) if s == 0 else (32, 32),
+                    64 if s == 0 else 128, name=f"pool{s}")(
+                    pyramid.dxyz[s], feats)
+                feats = hier.pool_max(pooled, pyramid, s)
+
+        gin = jnp.concatenate([pyramid.levels[2].xyz, feats], axis=-1)
+        gfc = GrowthMLP((64, 64, 128), 256, name="global")(gin)
+        lf = jnp.concatenate([gfc, stage_feats[2]], axis=-1)
+        for s in (1, 0):
+            lf = jnp.concatenate(
+                [hier.unpool(lf, pyramid, s), stage_feats[s]], axis=-1)
+        return lf, stage_feats[0]
 
 
 class PointNetSegEncoder(nn.Module):
@@ -352,12 +511,19 @@ class PointNetSegEncoder(nn.Module):
                     if c.embed is not None:
                         fin = FCEmbed(c.embed, name=f"embed{embed_idx}")(feats)
                         embed_idx += 1
-                    conv_cls = (PointNetConvFast if self.fast_conv
-                                else PointNetConv)
-                    fpn = conv_cls(c.fc_dims, c.out,
-                                   name=f"feats{conv_idx}")(
-                        sxyz, fin, nbr, edges=edges, edge_band=band,
-                        edge_rescale=rescale)
+                    if c.noconcat:
+                        fpn = PointNetConv(c.fc_dims, c.out,
+                                           concat_growth=False,
+                                           name=f"feats{conv_idx}")(
+                            sxyz, fin, nbr, edges=edges, edge_band=band,
+                            edge_rescale=rescale)
+                    else:
+                        conv_cls = (PointNetConvFast if self.fast_conv
+                                    else PointNetConv)
+                        fpn = conv_cls(c.fc_dims, c.out,
+                                       name=f"feats{conv_idx}")(
+                            sxyz, fin, nbr, edges=edges, edge_band=band,
+                            edge_rescale=rescale)
                     feats = jnp.concatenate([feats, fpn], axis=-1)
                 conv_idx += 1
             stage_feats.append(feats)
@@ -381,9 +547,20 @@ class PointNetSegEncoder(nn.Module):
         gin = jnp.concatenate([pyramid.levels[top].xyz, prev_feats], axis=-1)
         gfc = GrowthMLP(arch.global_dims, arch.global_out, name="global")(gin)
 
-        # decoder: unpool-concat (model_pointnet.py:1030-1036)
+        # decoder: unpool-concat (model_pointnet.py:1030-1036) or the deconv
+        # variant — per-level growth MLP on [up ‖ stage feats ‖ dxyz]
+        # (pointnet_deconv, model_pointnet.py:87-104; decoder structure of
+        # pointnet_10_concat_pre_deconv :620-636)
         lf = jnp.concatenate([stage_feats[top], gfc], axis=-1)
         for s in range(top - 1, -1, -1):
-            lf = jnp.concatenate(
-                [hier.unpool(lf, pyramid, s), stage_feats[s]], axis=-1)
+            up = hier.unpool(lf, pyramid, s)
+            if arch.decoder == "deconv":
+                din = jnp.concatenate([up, stage_feats[s], pyramid.dxyz[s]],
+                                      axis=-1)
+                dd = arch.deconv_dims[min(s, len(arch.deconv_dims) - 1)]
+                upf = GrowthMLP(dd, arch.deconv_out, new_first=False,
+                                name=f"deconv{s}")(din)
+                lf = jnp.concatenate([upf, up, stage_feats[s]], axis=-1)
+            else:
+                lf = jnp.concatenate([up, stage_feats[s]], axis=-1)
         return lf, stage_feats[0]

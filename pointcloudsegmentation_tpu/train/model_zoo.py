@@ -258,6 +258,27 @@ def build_model(cfg: TrainConfig, search_chunk: int = 1024) -> nn.Module:
         # model_pointnet_semantic3d.py:327-441)
         "pointnet_semantic3d_dilate": lambda: PointNetSegEncoder(
             arch=SEMANTIC3D_DILATE_ARCH, **_enc_kw),
+        # ablation tail (model_pointnet.py:106-929) + pointnet2 baseline
+        # (model_pgnet.py:1133-1223) — the reference's operator-comparison
+        # span, reproduced by conv_compare
+        "pointnet_baseline20": lambda: PointNetSegEncoder(
+            arch=__import__(
+                "pointcloudsegmentation_tpu.models.pointnet",
+                fromlist=["S3DIS_BASELINE20_ARCH"]).S3DIS_BASELINE20_ARCH,
+            **_enc_kw),
+        "pointnet_concat10_deconv": lambda: PointNetSegEncoder(
+            arch=__import__(
+                "pointcloudsegmentation_tpu.models.pointnet",
+                fromlist=["S3DIS_CONCAT10_DECONV_ARCH"]
+            ).S3DIS_CONCAT10_DECONV_ARCH, **_enc_kw),
+        "pointnet_embed_only": lambda: PointNetSegEncoder(
+            arch=__import__(
+                "pointcloudsegmentation_tpu.models.pointnet",
+                fromlist=["S3DIS_EMBED_ARCH"]).S3DIS_EMBED_ARCH, **_enc_kw),
+        "pointnet2_s3dis": lambda: __import__(
+            "pointcloudsegmentation_tpu.models.pointnet",
+            fromlist=["PointNet2Baseline"]).PointNet2Baseline(
+            search_chunk=search_chunk),
         "ecd_scannet": lambda: ECDSegModel(
             specs=SCANNET_ECD_SPEC, search_chunk=search_chunk),
         "ecd_s3dis": lambda: ECDSegModel(

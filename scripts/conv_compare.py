@@ -32,7 +32,12 @@ from pointcloudsegmentation_tpu.utils.logging import get_logger
 # to the registry's equivalent operator.
 FLAVORS = ["pointnet_s3dis", "ecd_s3dis", "pgnet_v8", "gpn_seg",
            "template_pointnet", "template_anchor", "template_mlp_anchor",
-           "template_diffusion_anchor"]
+           "template_diffusion_anchor",
+           # reference ablation span: no-growth 20-layer baseline, deconv
+           # decoder, embed-without-dilation, PointNet++-style baseline
+           # (model_pointnet.py:106-929, model_pgnet.py:1133-1223)
+           "pointnet_baseline20", "pointnet_concat10_deconv",
+           "pointnet_embed_only", "pointnet2_s3dis"]
 
 
 def run_flavor(model: str, args, log):

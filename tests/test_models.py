@@ -369,3 +369,49 @@ def test_tiny_encoder_forward_and_grad(rng):
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     nonzero = sum(float(jnp.max(jnp.abs(g))) > 0 for g in leaves)
     assert nonzero / len(leaves) > 0.8
+
+
+def test_noconcat_and_deconv_variants(rng):
+    """Ablation machinery: pointnet_conv_noconcat convs (plain MLP chain,
+    model_pointnet.py:41-54) and the deconv decoder (:87-104, :620-636) —
+    tiny-sized forward + decoder param presence."""
+    from dataclasses import replace
+    from pointcloudsegmentation_tpu.models.pointnet import ConvSpec, \
+        StageSpec
+
+    base = _tiny_arch()
+    nc_stages = tuple(
+        replace(st, convs=tuple(replace(c, noconcat=True, embed=None)
+                                for c in st.convs))
+        for st in base.stages)
+    arch = replace(base, stages=nc_stages, decoder="deconv",
+                   deconv_dims=((8, 8),), deconv_out=16)
+    pyr, mask = small_pyramid(rng)
+    feats = jnp.asarray(rng.randn(N, 12).astype(np.float32))
+    enc = PointNetSegEncoder(arch=arch, search_chunk=128)
+    params = enc.init(jax.random.PRNGKey(0), pyr, feats)
+    names = jax.tree_util.tree_leaves_with_path(params)
+    flat = ["/".join(str(k) for k in path) for path, _ in names]
+    assert any("deconv0" in f for f in flat)
+    gf, lf = enc.apply(params, pyr, feats)
+    m = np.asarray(mask)
+    assert np.isfinite(np.asarray(gf)[m]).all()
+    # noconcat convs are the plain-MLP family: no per-hidden growth params
+    # (fast-path fc_i_h{j} names never appear)
+    assert not any("_h0" in f or "_h1" in f for f in flat)
+
+
+@pytest.mark.slow
+def test_pointnet2_baseline_forward(rng):
+    """pointnet2_v2 baseline (model_pgnet.py:1133-1223): paired conv units
+    + stage-2 anchor convs, 3-level pyramid contract."""
+    from pointcloudsegmentation_tpu.models.pointnet import PointNet2Baseline
+
+    pyr, mask = small_pyramid(rng)
+    feats = jnp.asarray(rng.randn(N, 12).astype(np.float32))
+    enc = PointNet2Baseline(search_chunk=128)
+    params = enc.init(jax.random.PRNGKey(0), pyr, feats)
+    gf, lf = enc.apply(params, pyr, feats)
+    assert gf.shape[0] == N and lf.shape[0] == N
+    m = np.asarray(mask)
+    assert np.isfinite(np.asarray(gf)[m]).all()
