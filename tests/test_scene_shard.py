@@ -99,11 +99,50 @@ def test_scene_apply_matches_sequential():
                                 ms[lo:hi],
                                 ms[hi:hi + halo] if i < d - 1
                                 else np.zeros(halo, bool)])
-        mz = m_ext[:, None].astype(np.float32)
-        center = (x_ext * mz).sum(0) / max(mz.sum(), 1.0)
+        # core-only center (halo-invariant frame — scene_shard.scene_apply)
+        mc = ms[lo:hi][:, None].astype(np.float32)
+        center = (xs[lo:hi] * mc).sum(0) / max(mc.sum(), 1.0)
         out = model.apply(params, jnp.asarray(x_ext - center),
                           jnp.asarray(f_ext), jnp.asarray(m_ext), False)
         ref[lo:hi] = np.asarray(out)[halo:-halo]
     ref = ref[inv]
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=5e-4,
                                atol=5e-4)
+
+
+def test_halo_rule_and_check(rng=None):
+    """The data-driven halo rule (required_halo) and the loud scene_apply
+    contract: a halo below the requirement raises before any compute."""
+    import pytest as _pytest
+
+    from pointcloudsegmentation_tpu.parallel.scene_shard import required_halo
+
+    rng = np.random.RandomState(3)
+    n, d = 2048, 8
+    xyz, feats, mask = _scene(rng, n=n)
+    xs, ms, order = morton.sort_block(xyz, mask, 0.2, 64.0)
+    xs_np, ms_np = np.asarray(xs), np.asarray(ms)
+
+    need_small = required_halo(xs_np, ms_np, d, 0.2, 100.0)
+    need_big = required_halo(xs_np, ms_np, d, 1.0, 100.0)
+    # NOTE: the exact (p100) requirement routinely exceeds the shard length
+    # — Morton discontinuities put a few neighbors at index distance ~N/2;
+    # that fat tail is exactly why the percentile knob exists
+    assert need_small >= 1
+    assert need_big >= need_small          # monotone in receptive field
+    p99 = required_halo(xs_np, ms_np, d, 1.0, 99.0)
+    assert p99 <= need_big                 # percentile trims the tail
+
+    mesh = make_mesh()
+    # the check fires before apply_fn is ever traced — apply_fn can be a
+    # stub
+    def boom(*a):
+        raise AssertionError("apply_fn must not run")
+
+    too_small = min(need_small - 1, n // d)
+    assert too_small >= 1
+    with _pytest.raises(ValueError, match="data-driven requirement"):
+        scene_apply(boom, None, xyz, feats, mask, mesh,
+                    halo=too_small, sort_cell=0.2,
+                    scene_extent=64.0, receptive_field=0.2,
+                    halo_percentile=100.0)
