@@ -58,8 +58,22 @@ def main():
     p.add_argument("--knn", type=int, default=6)
     p.add_argument("--labels-out", action="store_true",
                    help="write Semantic3D .labels submissions")
+    p.add_argument("--fast-search", action="store_true",
+                   help="use the windowed approximate neighbor search "
+                        "(the training-throughput default).  EVAL defaults "
+                        "to the EXACT global search: inference is "
+                        "throughput-insensitive and the windowed path's "
+                        "recall_target=0.8 / overflow-slot losses "
+                        "(94.6-98.1%% per-band recall) should not leak "
+                        "into reported mIoU or submissions")
     args = p.parse_args()
     log = get_logger("pcs_tpu.interpolate")
+    if not args.fast_search:
+        # read at trace time by ops.search.band_neighbors_auto — must be
+        # set before the first model trace
+        os.environ["PCS_DISABLE_WINDOWED"] = "1"
+        log.info("exact-search eval (pass --fast-search for the windowed "
+                 "training path)")
 
     over = {}
     if args.model:
