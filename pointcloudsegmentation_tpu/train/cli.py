@@ -53,6 +53,10 @@ def parse_args(argv=None):
     p.add_argument("--restore", action="store_true")
     p.add_argument("--restore-epoch", type=int, default=None)
     p.add_argument("--log-file", type=str, default=None)
+    p.add_argument("--metrics-file", type=str, default=None,
+                   help="per-epoch metrics JSONL (default: alongside "
+                        "--log-file / --checkpoint-dir); consumed by "
+                        "scripts/analysis_compare.py")
     p.add_argument("--eval", action="store_true",
                    help="evaluate only (restore + test epoch)")
     p.add_argument("--no-mesh", action="store_true",
@@ -153,12 +157,41 @@ def make_batches(cfg, args, split: str, batch_size: int):
                                       d.num_points))
 
 
+def _metrics_writer(args, cfg):
+    """Append-mode JSONL sink for per-epoch eval metrics — the machine-
+    readable replacement for the reference's grep-the-log analysis flow
+    (analysis_feats_compare.py:7-39 parses 'mean iou'/'<class> iou' lines
+    out of free-text logs; here every epoch record is one JSON object)."""
+    import json
+
+    path = args.metrics_file
+    if path is None and args.log_file:
+        path = os.path.splitext(args.log_file)[0] + ".metrics.jsonl"
+    if path is None and cfg.checkpoint_dir:
+        path = os.path.join(cfg.checkpoint_dir, "metrics.jsonl")
+    if path is None:
+        return lambda rec: None
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def write(rec):
+        def clean(v):
+            if isinstance(v, np.ndarray):
+                return [float(x) for x in v]
+            return float(v) if isinstance(v, (np.floating, np.integer)) \
+                else v
+        with open(path, "a") as f:
+            f.write(json.dumps({k: clean(v) for k, v in rec.items()}) + "\n")
+
+    return write
+
+
 def main(argv=None):
     from ..utils import cache as _cache
     _cache.enable()
     args = parse_args(argv)
     cfg = build_cfg(args)
     log = get_logger("pcs_tpu.cli", args.log_file)
+    write_metrics = _metrics_writer(args, cfg)
 
     mesh = None if args.no_mesh else make_mesh()
     n_dev = 1 if mesh is None else mesh.size
@@ -190,6 +223,10 @@ def main(argv=None):
                  res["miou"], res["oiou"], res["oacc"], res.get("loss", 0))
         for i, iou in enumerate(res["iou"]):
             log.info("  class %d iou %.4f acc %.4f", i, iou, res["acc"][i])
+        write_metrics({"epoch": -1, "split": "eval", "miou": res["miou"],
+                       "oiou": res["oiou"], "oacc": res["oacc"],
+                       "loss": res.get("loss", 0), "iou": res["iou"],
+                       "acc": res["acc"]})
         return res
 
     for epoch in range(start_epoch, cfg.num_epochs):
@@ -201,6 +238,11 @@ def main(argv=None):
                  "oAcc %.4f | %.0f points/s",
                  epoch, tr.get("loss", 0), te["miou"], te["oiou"],
                  te["oacc"], tr["points_per_sec"])
+        write_metrics({"epoch": epoch, "train_loss": tr.get("loss", 0),
+                       "miou": te["miou"], "oiou": te["oiou"],
+                       "oacc": te["oacc"], "iou": te["iou"],
+                       "acc": te["acc"],
+                       "points_per_sec": tr["points_per_sec"]})
         if ckpt is not None:
             ckpt.save(epoch, state)
     return state
