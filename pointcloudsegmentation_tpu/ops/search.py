@@ -178,6 +178,30 @@ def _tile_shared_pool(opool_idx: jnp.ndarray, opool_mask: jnp.ndarray,
     return jnp.where(pool_valid, pool_g, 0), ppos.reshape(n, op)
 
 
+def _pool_take(pvals: jnp.ndarray, ppos: jnp.ndarray,
+               tile: int) -> jnp.ndarray:
+    """Read per-point values through a tile-shared pool: [nt, P, F] pool
+    table + [N, K] pool positions -> [N, K, F].
+
+    One-hot MXU matmul on TPU (precision=HIGHEST so the f32 hi+lo split
+    reconstructs the selected rows BIT-exactly — default-precision TPU
+    matmuls round f32 operands to bf16); a two-step row gather elsewhere.
+    Positions == P (dropped/invalid) hit the one-hot null row -> zeros.
+    """
+    nt, p, f = pvals.shape
+    n, k = ppos.shape
+    if jax.default_backend() == "tpu":
+        oh = jax.nn.one_hot(ppos.reshape(nt, tile, k), p, dtype=pvals.dtype)
+        return jnp.einsum("ntkp,npf->ntkf", oh, pvals,
+                          preferred_element_type=pvals.dtype,
+                          precision=jax.lax.Precision.HIGHEST
+                          ).reshape(n, k, f)
+    flat = jnp.concatenate(
+        [pvals, jnp.zeros((nt, 1, f), pvals.dtype)], axis=1).reshape(-1, f)
+    tbase = (jnp.arange(n, dtype=jnp.int32) // tile) * (p + 1)
+    return jnp.take(flat, ppos + tbase[:, None], axis=0)
+
+
 @partial(jax.jit, static_argnames=("k", "radius", "min_radius", "chunk"))
 def radius_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray, radius: float,
                      k: int, min_radius: float = 0.0,
@@ -504,7 +528,23 @@ def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
         (opool_idx, opool_mask, _), = _compact_bands(
             -appv, ov_valid_sel, jnp.zeros_like(in_slab), ci, None,
             mask, row, ((0.0, 1e15, ov_pool),), [ov_pool])
-        ocand = jnp.take(xyzm, opool_idx, axis=0)            # [N, op, 4]
+        if ov_pool_size > 0 and ov_mode != "edges":
+            # pool-FIRST geometry: dedupe the tile's targets before touching
+            # xyzm, then read candidate geometry through the pool with
+            # one-hot MXU matmuls.  The direct [N, op, 4] row gather this
+            # replaces was the single most expensive op in the step trace
+            # (~3 ms at N=8192·b4: row-descriptor-bound DMA); the pool
+            # gather touches only [nt, P] rows (~10x fewer).  Candidates
+            # dropped from a full pool (ppos == P) read the one-hot null
+            # row (zeros) and are masked out below.
+            pool_gidx, ppos = _tile_shared_pool(opool_idx, opool_mask,
+                                                tile, ov_pool_size)
+            pg = jnp.take(xyzm, pool_gidx.reshape(-1),
+                          axis=0).reshape(n // tile, ov_pool_size, 4)
+            ocand = _pool_take(pg, ppos, tile)               # [N, op, 4]
+            opool_mask &= ppos < ov_pool_size
+        else:
+            ocand = jnp.take(xyzm, opool_idx, axis=0)        # [N, op, 4]
     sxyz_ov = ocand[..., :3] - xyz[:, None, :]
     ed2_ov = jnp.sum(sxyz_ov * sxyz_ov, axis=-1)
     valid_ov = (ocand[..., 3] > 0.5) & opool_mask
@@ -560,13 +600,11 @@ def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
             out.append((wn, wsx, edges) if return_sxyz else (wn, edges))
         return tuple(out)
 
-    # tile-shared overflow pool: dedupe the tile's targets, emit POOL
-    # POSITIONS from band compaction instead of global indices (see
-    # _tile_shared_pool / types.WindowedNeighborhood.pool_idx)
+    # tile-shared overflow pool: emit POOL POSITIONS from band compaction
+    # instead of global indices (see _tile_shared_pool /
+    # types.WindowedNeighborhood.pool_idx); pool_gidx/ppos were built above,
+    # before the pool-first geometry read
     if ov_pool_size > 0 and ov_window == 0:
-        pool_gidx, ppos = _tile_shared_pool(opool_idx, opool_mask, tile,
-                                            ov_pool_size)
-        valid_ov &= ppos < ov_pool_size
         ov_src = ppos
         ov_pad = jnp.full((n,), ov_pool_size, jnp.int32)
     else:
