@@ -351,14 +351,24 @@ class SegClassifier(nn.Module):
     use_pfeats: bool = True
     use_dropout: bool = True
     dropout_rate: float = 0.3  # tf.nn.dropout keep_prob 0.7
+    # feats is already ``class_mlp1 @ lf + b`` (the encoder's factored
+    # head_dim projection, models/pointnet.py) — apply the relu directly.
+    # feats.shape[-1] must equal dims[0].
+    premixed: bool = False
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray,
                  pfeats: Optional[jnp.ndarray] = None,
                  train: bool = False) -> jnp.ndarray:
+        if self.premixed:
+            assert feats.shape[-1] == self.dims[0], \
+                (feats.shape, self.dims)
         x = feats
         for i, d in enumerate(self.dims):
-            x = nn.relu(Dense(d, name=f"class_mlp{i + 1}")(x))
+            if i == 0 and self.premixed:
+                x = nn.relu(x)
+            else:
+                x = nn.relu(Dense(d, name=f"class_mlp{i + 1}")(x))
             if self.use_pfeats:
                 assert pfeats is not None
                 x = jnp.concatenate([x, pfeats], axis=-1)

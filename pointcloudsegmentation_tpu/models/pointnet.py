@@ -393,6 +393,19 @@ class PointNetSegEncoder(nn.Module):
     # with P > 0 every conv's overflow gather touches nt*P rows instead of
     # N*Ko and the per-point reads become local one-hot matmuls
     ov_pool_size: int = 0
+    # factored classifier-head input: instead of returning the wide decoder
+    # concat ``lf0 = [unpool(lf1) ‖ sf0]`` (1388-wide f32 at level 0 for the
+    # flagship — its unpool gather + scatter-add backward and the classifier
+    # concats were ~15% of the step trace), return the classifier's FIRST
+    # Dense applied to it, computed per source at its own level:
+    #     Dense(concat(up, sf)) == Dense_up(up) + Dense_sf(sf)
+    #     Dense(unpool(x))      == unpool(Dense(x))        (unpool = row gather)
+    # so only head_dim-wide tensors ever cross levels, and each source is
+    # projected at its own (coarser) row count.  Same function family as
+    # SegClassifier's class_mlp1 — exact parameter mapping tested in
+    # tests/test_models.py.  Pair with SegClassifier(premixed=True).
+    # Only valid for the concat decoder (deconv's per-level MLP is nonlinear).
+    head_dim: Optional[int] = None
 
     def _stage_neighborhoods(self, xyz, mask, specs,
                              edge_ratio: int = 3,
@@ -546,6 +559,23 @@ class PointNetSegEncoder(nn.Module):
         top = n_stages - 1
         gin = jnp.concatenate([pyramid.levels[top].xyz, prev_feats], axis=-1)
         gfc = GrowthMLP(arch.global_dims, arch.global_out, name="global")(gin)
+
+        # factored head: project each decoder source at its own level and
+        # carry only head_dim-wide sums through the unpools (see head_dim
+        # field comment).  Bias lives on the level-0 projection; the
+        # per-source kernels are the row slices of class_mlp1's kernel.
+        if self.head_dim is not None:
+            assert arch.decoder != "deconv", \
+                "head_dim factoring requires the linear concat decoder"
+            from .layers import Dense
+            z = Dense(self.head_dim, use_bias=False,
+                      name=f"head_sf{top}")(stage_feats[top]) \
+                + Dense(self.head_dim, use_bias=False, name="head_g")(gfc)
+            for s in range(top - 1, -1, -1):
+                z = hier.unpool(z, pyramid, s) \
+                    + Dense(self.head_dim, use_bias=(s == 0),
+                            name=f"head_sf{s}")(stage_feats[s])
+            return z, stage_feats[0]
 
         # decoder: unpool-concat (model_pointnet.py:1030-1036) or the deconv
         # variant — per-level growth MLP on [up ‖ stage feats ‖ dxyz]

@@ -38,6 +38,9 @@ class SegmentationModel(nn.Module):
     # logits are mapped back to the input order before returning, so the
     # sort is invisible to callers.
     morton_sort: bool = True
+    # the encoder returns the classifier's first Dense pre-activation
+    # instead of the wide decoder concat (PointNetSegEncoder.head_dim)
+    head_premixed: bool = False
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, feats: jnp.ndarray,
@@ -56,7 +59,8 @@ class SegmentationModel(nn.Module):
                                  self.block_size,
                                  morton_sorted=self.morton_sort)
         gf, lf = self.encoder(pyr, feats)
-        logits = SegClassifier(self.num_classes, name="head")(gf, lf, train)
+        logits = SegClassifier(self.num_classes, name="head",
+                               premixed=self.head_premixed)(gf, lf, train)
         if self.diffusion_steps > 0:
             nbr = search.radius_neighbors(xyz, mask, self.diffusion_radius,
                                           8, chunk=min(1024, xyz.shape[0]))
@@ -314,8 +318,18 @@ def build_model(cfg: TrainConfig, search_chunk: int = 1024) -> nn.Module:
     for _conv in ("pointnet", "anchor", "mlp_anchor", "diffusion_anchor"):
         enc_map[f"template_{_conv}"] = _template(_conv)
     if cfg.model in enc_map:
-        return SegmentationModel(encoder=enc_map[cfg.model](), **common,
-                                 **seg_extra)
+        enc = enc_map[cfg.model]()
+        # factored classifier head (head_dim comment in models/pointnet.py):
+        # measured win on the flagship — the wide decoder concat chain was
+        # ~15% of the step trace.  PCS_FACTORED_HEAD=0 restores the
+        # reference-layout concat decoder for A/Bs.
+        factored = (isinstance(enc, PointNetSegEncoder)
+                    and enc.arch.decoder != "deconv"
+                    and os.environ.get("PCS_FACTORED_HEAD", "1") != "0")
+        if factored:
+            enc = enc.clone(head_dim=512)
+        return SegmentationModel(encoder=enc, head_premixed=factored,
+                                 **common, **seg_extra)
     if cfg.model == "dense_semantic3d":
         # dense pre-encoder + pointnet_13_dilate_embed_semantic3d
         # (train_gpn_semantic3d_dense.py:55-60)

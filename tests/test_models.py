@@ -415,3 +415,58 @@ def test_pointnet2_baseline_forward(rng):
     assert gf.shape[0] == N and lf.shape[0] == N
     m = np.asarray(mask)
     assert np.isfinite(np.asarray(gf)[m]).all()
+
+
+def test_factored_head_matches_concat_decoder(rng):
+    """The factored classifier-head input (PointNetSegEncoder.head_dim) must
+    span the same function family as ``class_mlp1 @ concat-decoder-lf``:
+    with the per-source kernels concatenated in lf row order
+    [sf_top ‖ gfc ‖ ... ‖ sf_0], outputs match the wide-concat projection."""
+    pyr, mask = small_pyramid(rng)
+    feats = jnp.asarray(rng.randn(N, 12).astype(np.float32))
+    H = 16
+    enc_u = PointNetSegEncoder(arch=_tiny_arch(), search_chunk=128)
+    enc_f = enc_u.clone(head_dim=H)
+    p_f = enc_f.init(jax.random.PRNGKey(0), pyr, feats)
+    z, sf0_f = enc_f.apply(p_f, pyr, feats)
+    assert z.shape == (N, H)
+
+    # kernel rows in lf concat order: lf_top = [sf_top ‖ gfc];
+    # lf_s = [up ‖ sf_s] for s < top  ->  [sf1 ‖ gfc ‖ sf0] for 2 stages
+    hp = p_f["params"]
+    kern = jnp.concatenate([hp["head_sf1"]["kernel"],
+                            hp["head_g"]["kernel"],
+                            hp["head_sf0"]["kernel"]], axis=0)
+    bias = hp["head_sf0"]["bias"]
+    p_u = {"params": {k: v for k, v in hp.items()
+                      if not k.startswith("head_")}}
+    lf, sf0_u = enc_u.apply(p_u, pyr, feats)
+    assert lf.shape[-1] == kern.shape[0]
+    want = lf @ kern + bias
+    m = np.asarray(mask)
+    np.testing.assert_allclose(np.asarray(z)[m], np.asarray(want)[m],
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(sf0_f), np.asarray(sf0_u))
+
+
+def test_premixed_classifier_head(rng):
+    """SegClassifier(premixed=True) applies relu directly to the projected
+    input and matches the unfactored head when class_mlp1 is folded in."""
+    n, h, pf_dim, nc = 64, 16, 12, 5
+    z = jnp.asarray(rng.randn(n, h).astype(np.float32))
+    pfeats = jnp.asarray(rng.randn(n, pf_dim).astype(np.float32))
+    head_p = SegClassifier(nc, dims=(h, 8), premixed=True)
+    pp = head_p.init(jax.random.PRNGKey(0), z, pfeats, False)
+    out_p = head_p.apply(pp, z, pfeats, False)
+    assert out_p.shape == (n, nc)
+    # unfactored head with class_mlp1 = identity reproduces it
+    head_u = SegClassifier(nc, dims=(h, 8))
+    pu = head_u.init(jax.random.PRNGKey(1), z, pfeats, False)
+    pu_params = dict(pu["params"])
+    pu_params["class_mlp1"] = {"kernel": jnp.eye(h),
+                               "bias": jnp.zeros((h,))}
+    pu_params["class_mlp2"] = pp["params"]["class_mlp2"]
+    pu_params["class_mlp3"] = pp["params"]["class_mlp3"]
+    out_u = head_u.apply({"params": pu_params}, z, pfeats, False)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u),
+                               rtol=1e-5, atol=1e-6)
