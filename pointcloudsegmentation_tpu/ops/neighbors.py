@@ -63,9 +63,15 @@ def _windowed_take_bwd(window, tile, res, g):
     nt = n // tile
     k = lidx.shape[-1]
     f = g.shape[-1]
-    oh = jax.nn.one_hot(lidx.reshape(nt, tile, k), s, dtype=g.dtype)
-    dslab = jnp.einsum("ntks,ntkf->nsf", oh, g.reshape(nt, tile, k, f),
-                       preferred_element_type=g.dtype)      # [nt, S, F]
+    if _use_pallas_gather():
+        from .pallas import window_gather as _wg
+
+        dslab = _wg.dslab_bwd(g, lidx, window, tile)        # [nt, S, F]
+    else:
+        oh = jax.nn.one_hot(lidx.reshape(nt, tile, k), s, dtype=g.dtype)
+        dslab = jnp.einsum("ntks,ntkf->nsf", oh,
+                           g.reshape(nt, tile, k, f),
+                           preferred_element_type=g.dtype)  # [nt, S, F]
     # overlap-add slabs back into padded rows.  Slab t covers padded rows
     # [t*tile, t*tile + s); with s an exact multiple of tile, slab chunk j
     # (rows [j*tile, (j+1)*tile)) lands at padded rows [(t+j)*tile, ...) —
@@ -94,11 +100,28 @@ def _onehot_take(feats, lidx, window, tile):
     return _onehot_fwd_impl(feats, lidx, window, tile)
 
 
+def _use_pallas_gather() -> bool:
+    """Route the windowed one-hot gather pair through the Pallas kernels
+    (ops/pallas/window_gather.py) — in-VMEM one-hot build, no HBM one-hot
+    or slab-stack materialization.  Bit-exact vs the XLA einsum pair, but
+    MEASURED SLOWER in-graph (324k vs 394k points/s/chip full step, r3):
+    XLA fuses masks/selects into its einsums and keeps packed layouts,
+    while pallas_call boundaries force layout copies.  Off by default;
+    PCS_PALLAS_GATHER=1 opts in (see BASELINE.md)."""
+    import os
+
+    return os.environ.get("PCS_PALLAS_GATHER", "") == "1"
+
+
 def _onehot_fwd_impl(feats, lidx, window, tile):
     n, f = feats.shape
     s = tile + 2 * window
     nt = n // tile
     k = lidx.shape[-1]
+    if _use_pallas_gather():
+        from .pallas import window_gather as _wg
+
+        return _wg.gather_fwd(feats, lidx, window, tile)
     fp = jnp.pad(feats, ((window, window), (0, 0)))
     slabs = _slab_stack(fp, nt, tile, s)                     # [nt, S, F]
     oh = jax.nn.one_hot(lidx.reshape(nt, tile, k), s, dtype=feats.dtype)

@@ -1,2 +1,3 @@
-"""Pallas TPU kernels for the hot compute paths."""
-from .conv_pool import project_max  # noqa: F401
+"""Pallas TPU kernels for the windowed gather pair (see window_gather.py
+for why they are opt-in: the XLA einsum form measured faster in-graph)."""
+from .window_gather import dslab_bwd, gather_fwd  # noqa: F401

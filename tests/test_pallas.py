@@ -1,47 +1,75 @@
-"""Pallas kernel tests (run via the XLA fallback on CPU; oracle + grads)."""
+"""Pallas windowed-gather kernel tests (interpret mode on CPU; the TPU
+exactness run lives in the r3 measurement log — both paths share this
+oracle).  The kernels are the opt-in PCS_PALLAS_GATHER=1 alternative to the
+XLA one-hot einsum pair in ops/neighbors.py; they must match it bit-exactly
+(bf16 and f32) so the knob never changes results."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.test_util import check_grads
+import pytest
 
-from pointcloudsegmentation_tpu.ops.pallas import project_max
+from pointcloudsegmentation_tpu.ops.pallas import dslab_bwd, gather_fwd
 
-
-def test_project_max_matches_oracle(rng):
-    n, k, d, o = 64, 8, 16, 32
-    x = rng.randn(n, k, d).astype(np.float32)
-    w = rng.randn(d, o).astype(np.float32)
-    b = rng.randn(o).astype(np.float32)
-    mask = rng.rand(n, k) < 0.7
-    mask[3] = False  # zero-neighbor row -> 0 output
-    got = np.asarray(project_max(jnp.asarray(x), jnp.asarray(w),
-                                 jnp.asarray(b), jnp.asarray(mask)))
-    y = x @ w + b
-    for i in range(n):
-        rows = y[i][mask[i]]
-        want = rows.max(0) if len(rows) else np.zeros(o, np.float32)
-        np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-5)
+N, T, W = 1024, 128, 128
+S = T + 2 * W
 
 
-def test_project_max_grads(rng):
-    n, k, d, o = 16, 4, 6, 8
-    x = jnp.asarray(rng.randn(n, k, d).astype(np.float32))
-    w = jnp.asarray(rng.randn(d, o).astype(np.float32))
-    b = jnp.asarray(rng.randn(o).astype(np.float32))
-    mask = jnp.asarray(rng.rand(n, k) < 0.8)
-
-    check_grads(lambda x_, w_, b_: jnp.sum(
-        project_max(x_, w_, b_, mask) ** 2), (x, w, b),
-        order=1, modes=["rev"], atol=5e-2, rtol=5e-2)
+def _mk(rng, f, k, dtype):
+    feats = jnp.asarray(rng.randn(N, f)).astype(dtype)
+    lidx = jnp.asarray(rng.randint(0, S, (N, k)).astype(np.int32))
+    return feats, lidx
 
 
-def test_project_max_grad_is_argmax_routed(rng):
-    n, k, d, o = 8, 3, 4, 5
-    x = jnp.asarray(rng.randn(n, k, d).astype(np.float32))
-    w = jnp.asarray(rng.randn(d, o).astype(np.float32))
-    b = jnp.zeros(o)
-    mask = jnp.ones((n, k), bool)
-    g = jax.grad(lambda x_: jnp.sum(project_max(x_, w, b, mask)))(x)
-    # each (point, out-dim) routes exactly one unit of gradient through w
-    gy_rows = np.asarray(jnp.abs(g).sum(-1) > 0)
-    assert gy_rows.sum() <= n * min(k, o) * k  # sane sparsity
+@pytest.mark.parametrize("f,k,dtype", [
+    (8, 8, jnp.bfloat16), (16, 12, jnp.bfloat16), (4, 16, jnp.float32)])
+def test_gather_fwd_matches_take(rng, f, k, dtype):
+    feats, lidx = _mk(rng, f, k, dtype)
+    got = gather_fwd(feats, lidx, W, T)
+    fp = jnp.pad(feats, ((W, W), (0, 0)))
+    gidx = lidx + ((jnp.arange(N) // T) * T)[:, None]
+    want = jnp.take(fp, gidx, axis=0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("f,k,dtype", [
+    (8, 8, jnp.bfloat16), (4, 12, jnp.float32)])
+def test_dslab_bwd_matches_einsum(rng, f, k, dtype):
+    _, lidx = _mk(rng, f, k, dtype)
+    g = jnp.asarray(rng.randn(N, k, f)).astype(dtype)
+    got = dslab_bwd(g, lidx, W, T).astype(jnp.float32)
+    nt = N // T
+    oh = jax.nn.one_hot(lidx.reshape(nt, T, k), S, dtype=jnp.float32)
+    want = jnp.einsum("ntks,ntkf->nsf", oh,
+                      g.reshape(nt, T, k, f).astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(want.astype(dtype)
+                                          .astype(jnp.float32)),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_knob_route_through_model_gather(rng, monkeypatch):
+    """PCS_PALLAS_GATHER=1 routes windowed_gather through the kernels and
+    produces identical values to the default XLA path."""
+    from pointcloudsegmentation_tpu.ops import neighbors as nb
+    from pointcloudsegmentation_tpu.ops.types import WindowedNeighborhood
+
+    feats = jnp.asarray(rng.randn(N, 8).astype(np.float32))
+    lidx = jnp.asarray(rng.randint(0, S, (N, 8)).astype(np.int32))
+    mask = jnp.asarray(rng.rand(N, 8) < 0.8)
+    wn = WindowedNeighborhood(
+        lidx=lidx, wmask=mask, window=W, tile=T,
+        ov_idx=jnp.zeros((N, 0), jnp.int32),
+        ov_mask=jnp.zeros((N, 0), bool))
+
+    def run():
+        out, vjp = jax.vjp(lambda f_: nb.windowed_gather(f_, wn), feats)
+        (dfeats,) = vjp(jnp.ones_like(out))
+        return np.asarray(out), np.asarray(dfeats)
+
+    monkeypatch.setenv("PCS_PALLAS_GATHER", "0")
+    monkeypatch.setenv("PCS_ONEHOT_FWD", "1")
+    out_x, d_x = run()
+    monkeypatch.setenv("PCS_PALLAS_GATHER", "1")
+    out_p, d_p = run()
+    np.testing.assert_array_equal(out_p, out_x)
+    np.testing.assert_allclose(d_p, d_x, rtol=1e-6, atol=1e-6)
