@@ -393,6 +393,19 @@ class PointNetSegEncoder(nn.Module):
     # with P > 0 every conv's overflow gather touches nt*P rows instead of
     # N*Ko and the per-point reads become local one-hot matmuls
     ov_pool_size: int = 0
+    # candidate selection strategy for the windowed path: "slab" (exhaustive
+    # per-tile slab top-k + a small out-of-slab-only global pass) or
+    # "global" (one [chunk, N] approx_max_k feeding both tiers).  Measured
+    # on TPU (BASELINE.md): slab recall dominates global at every cand_k
+    # (its in-slab pool ranks against all S slab columns instead of the
+    # global-cut survivors), letting win_cand_k shrink to 32 — faster AND
+    # higher-recall than the round-2 global/64 default.
+    sel_mode: str = "slab"
+    # candidate-pool size for the WINDOWED selection only (None -> cand_k).
+    # The global-fallback search (small/unsorted levels) keeps cand_k: its
+    # single pool must absorb out-of-slab neighbors too.  Clamped below to
+    # the widest band's slot count.
+    win_cand_k: Optional[int] = 32
     # factored classifier-head input: instead of returning the wide decoder
     # concat ``lf0 = [unpool(lf1) ‖ sf0]`` (1388-wide f32 at level 0 for the
     # flagship — its unpool gather + scatter-add backward and the classifier
@@ -432,12 +445,15 @@ class PointNetSegEncoder(nn.Module):
         windowed = self.windowed and is_sorted \
             and os.environ.get("PCS_DISABLE_WINDOWED", "") != "1"
         if windowed and n % self.win_tile == 0 and n >= 4 * self.win_tile:
+            win_ck = self.win_cand_k or self.cand_k
+            win_ck = max(win_ck, max(k for (_, _, k) in bands))
             res = search.windowed_multi_band_neighbors(
                 xyz, mask, bands, tile=self.win_tile,
-                window=self.win_window, cand_k=min(self.cand_k, n),
+                window=self.win_window, cand_k=min(win_ck, n),
                 ov_slots=self.ov_slots, chunk=min(self.search_chunk, n),
                 return_sxyz=True, ov_mode=self.ov_mode,
                 ov_pool_size=self.ov_pool_size,
+                sel_mode=self.sel_mode,
                 edge_ratio=edge_ratio,
                 # NOTE: ov_window tiers were measured too lossy as default
                 # (Morton's tail is fat: 3-5% of neighbors sit at index

@@ -389,7 +389,8 @@ def band_neighbors_auto(xyz: jnp.ndarray, mask: jnp.ndarray, bands,
                         return_sxyz: bool = False, windowed: bool = True,
                         tile: int = 256, window: int = 256,
                         ov_slots: int = 8, recall_target: float = 0.9,
-                        sorted: bool = False, ov_pool_size: int = 0):
+                        sorted: bool = False, ov_pool_size: int = 0,
+                        sel_mode: str = "slab", win_cand_k=None):
     """Dispatch between the windowed fast path and the global path.
 
     Use from model code: pass ``sorted=pyramid.level_sorted(i)`` — the
@@ -399,19 +400,28 @@ def band_neighbors_auto(xyz: jnp.ndarray, mask: jnp.ndarray, bands,
     sorts level 0; Morton voxel keys sort levels >= 1.  Small or ragged
     levels fall back to the global ``multi_band_neighbors``.
     PCS_DISABLE_WINDOWED=1 is an emergency valve forcing the global path
-    everywhere.
+    everywhere; PCS_SEL_MODE=global|slab overrides the windowed selection
+    strategy (default slab: recall dominates global at every measured
+    cand_k, BASELINE.md).  ``win_cand_k`` sizes the windowed selection pool
+    only (None -> cand_k; clamped to the widest band's slot count) — the
+    global fallback keeps ``cand_k``, whose single pool must absorb
+    out-of-slab neighbors too.
     """
     import os
 
     if os.environ.get("PCS_DISABLE_WINDOWED", "") == "1":
         windowed = False
+    sel_mode = os.environ.get("PCS_SEL_MODE", sel_mode)
     n = xyz.shape[0]
     if windowed and sorted and n % tile == 0 and n >= 4 * tile:
+        win_ck = win_cand_k or cand_k
+        win_ck = max(win_ck, max(k for (_, _, k) in bands))
         return windowed_multi_band_neighbors(
             xyz, mask, bands, tile=tile, window=window,
-            cand_k=min(cand_k, n), ov_slots=ov_slots,
+            cand_k=min(win_ck, n), ov_slots=ov_slots,
             chunk=min(chunk, n), recall_target=recall_target,
-            return_sxyz=return_sxyz, ov_pool_size=ov_pool_size)
+            return_sxyz=return_sxyz, ov_pool_size=ov_pool_size,
+            sel_mode=sel_mode)
     return multi_band_neighbors(xyz, mask, bands, cand_k=min(cand_k, n),
                                 chunk=min(chunk, n),
                                 return_sxyz=return_sxyz)
@@ -420,7 +430,8 @@ def band_neighbors_auto(xyz: jnp.ndarray, mask: jnp.ndarray, bands,
 @partial(jax.jit, static_argnames=("bands", "tile", "window", "cand_k",
                                    "ov_slots", "chunk", "recall_target",
                                    "use_approx", "return_sxyz", "ov_mode",
-                                   "edge_ratio", "ov_window", "ov_pool_size"))
+                                   "edge_ratio", "ov_window", "ov_pool_size",
+                                   "sel_mode"))
 def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
                                   bands, tile: int = 256, window: int = 256,
                                   cand_k: int = 64, ov_slots: int = 8,
@@ -431,7 +442,8 @@ def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
                                   ov_mode: str = "slots",
                                   edge_ratio: int = 2,
                                   ov_window: int = 0,
-                                  ov_pool_size: int = 0):
+                                  ov_pool_size: int = 0,
+                                  sel_mode: str = "global"):
     """Multi-band fixed-K search for MORTON-SORTED points whose result is
     split into a windowed fast path + a small overflow path
     (types.WindowedNeighborhood), making downstream gathers MXU one-hot
@@ -465,29 +477,71 @@ def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
         n_pad // chunk, chunk, 3)
     qn_chunks = jnp.pad(sq, (0, n_pad - n)).reshape(-1, chunk)
 
-    def select(args):
-        q, qn = args
-        d2 = qn[:, None] + sq[None, :] - 2.0 * jnp.dot(
-            q, xyz.T, preferred_element_type=jnp.float32)
-        neg = jnp.where(mask[None, :], -d2, -_INF)
-        if use_approx:
-            v, ci = jax.lax.approx_max_k(neg, cand_k,
-                                         recall_target=recall_target)
-        else:
-            v, ci = jax.lax.top_k(neg, cand_k)
-        return ci.astype(jnp.int32), v
-
-    ci, appv = jax.lax.map(select, (q_chunks, qn_chunks))
-    ci = ci.reshape(n_pad, cand_k)[:n]
-    appv = appv.reshape(n_pad, cand_k)[:n]
-    sel_valid = appv > -_INF * 0.5
-
-    # slab membership + slab-local index of each candidate
     lo = tile_start - window
     s = tile + 2 * window
-    in_slab = (ci >= lo[:, None]) & (ci < (lo + s)[:, None])
-    lci = jnp.clip(ci - lo[:, None], 0, s - 1)
     self_local = (row % tile) + window
+
+    if sel_mode == "slab":
+        # Split selection: an exhaustive per-tile pass over the slab (the
+        # [nt, T, S] distance einsum is ~S/N of the global matmul and its
+        # top-k sorts an S-wide axis instead of N-wide), plus a global pass
+        # masked to OUT-of-slab columns that feeds only the overflow pool
+        # (k = ov_pool << cand_k).  vs the single global selection this
+        # removes the [N, ck] slab-membership split, the clip, and the
+        # [N, ck, ck] overflow rank compaction — approx_max_k's aggregated
+        # top-k output is already rank-sorted.  Recall improves: in-slab
+        # candidates are selected from ALL slab columns, not from whatever
+        # survived a global cand_k cut.
+        assert ov_window == 0, "slab selection has no wide-tier variant"
+        nt = n // tile
+        wt = window // tile
+        x0 = xyz.reshape(nt, tile, 3)
+        sq0 = sq.reshape(nt, tile)
+        m0 = mask.reshape(nt, tile)
+        slabs, ssqs, smasks = [], [], []
+        for o in range(-wt, wt + 1):
+            slabs.append(jnp.roll(x0, -o, axis=0))
+            ssqs.append(jnp.roll(sq0, -o, axis=0))
+            tid = jnp.arange(nt, dtype=jnp.int32) + o
+            ok = (tid >= 0) & (tid < nt)
+            smasks.append(jnp.roll(m0, -o, axis=0) & ok[:, None])
+        slab = jnp.concatenate(slabs, axis=1)               # [nt, S, 3]
+        ssq = jnp.concatenate(ssqs, axis=1)                 # [nt, S]
+        sm = jnp.concatenate(smasks, axis=1)                # [nt, S]
+        d2w = sq0[:, :, None] + ssq[:, None, :] - 2.0 * jnp.einsum(
+            "ntd,nsd->nts", x0, slab,
+            preferred_element_type=jnp.float32)
+        negw = jnp.where(sm[:, None, :], -d2w, -_INF)
+        ck_w = min(cand_k, s)
+        if use_approx:
+            vw, lci = jax.lax.approx_max_k(negw, ck_w,
+                                           recall_target=recall_target)
+        else:
+            vw, lci = jax.lax.top_k(negw, ck_w)
+        lci = lci.reshape(n, ck_w).astype(jnp.int32)
+        sel_valid = vw.reshape(n, ck_w) > -_INF * 0.5
+        in_slab = sel_valid
+    else:
+        def select(args):
+            q, qn = args
+            d2 = qn[:, None] + sq[None, :] - 2.0 * jnp.dot(
+                q, xyz.T, preferred_element_type=jnp.float32)
+            neg = jnp.where(mask[None, :], -d2, -_INF)
+            if use_approx:
+                v, ci = jax.lax.approx_max_k(neg, cand_k,
+                                             recall_target=recall_target)
+            else:
+                v, ci = jax.lax.top_k(neg, cand_k)
+            return ci.astype(jnp.int32), v
+
+        ci, appv = jax.lax.map(select, (q_chunks, qn_chunks))
+        ci = ci.reshape(n_pad, cand_k)[:n]
+        appv = appv.reshape(n_pad, cand_k)[:n]
+        sel_valid = appv > -_INF * 0.5
+
+        # slab membership + slab-local index of each candidate
+        in_slab = (ci >= lo[:, None]) & (ci < (lo + s)[:, None])
+        lci = jnp.clip(ci - lo[:, None], 0, s - 1)
 
     # exact in-slab geometry WITHOUT a global row gather: slab-local reads
     # (one-hot MXU matmuls on TPU; device traces showed the [N, ck, 4]
@@ -512,6 +566,29 @@ def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
     ov_pool = min(2 * ov_slots, cand_k) if ov_mode == "slots" \
         else min(16, cand_k)
     ov_valid_sel = ~in_slab & sel_valid
+    if sel_mode == "slab":
+        # dedicated out-of-slab selection: approx_max_k aggregates to an
+        # exact top-k over its candidates, so the pool arrives rank-sorted
+        # (nearest-first) — no _compact_bands pass needed
+        lo_chunks = jnp.pad(lo, (0, n_pad - n)).reshape(-1, chunk)
+
+        def select_ov(args):
+            q, qn, qlo = args
+            d2g = qn[:, None] + sq[None, :] - 2.0 * jnp.dot(
+                q, xyz.T, preferred_element_type=jnp.float32)
+            col = jnp.arange(n, dtype=jnp.int32)[None, :]
+            inw = (col >= qlo[:, None]) & (col < qlo[:, None] + s)
+            neg = jnp.where(mask[None, :] & ~inw, -d2g, -_INF)
+            if use_approx:
+                vo, cio = jax.lax.approx_max_k(
+                    neg, ov_pool, recall_target=recall_target)
+            else:
+                vo, cio = jax.lax.top_k(neg, ov_pool)
+            return cio.astype(jnp.int32), vo
+
+        oci, ovv = jax.lax.map(select_ov, (q_chunks, qn_chunks, lo_chunks))
+        opool_idx = oci.reshape(n_pad, ov_pool)[:n]
+        opool_mask = ovv.reshape(n_pad, ov_pool)[:n] > -_INF * 0.5
     if ov_window > 0:
         assert ov_window % tile == 0 and ov_window >= window
         lo2 = tile_start - ov_window
@@ -525,9 +602,10 @@ def windowed_multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
             mask, self_local2, ((0.0, 1e15, ov_pool),), [ov_pool])
         ocand = _geom_slab_take(xyzm, opool_idx, ov_window, tile)
     else:
-        (opool_idx, opool_mask, _), = _compact_bands(
-            -appv, ov_valid_sel, jnp.zeros_like(in_slab), ci, None,
-            mask, row, ((0.0, 1e15, ov_pool),), [ov_pool])
+        if sel_mode != "slab":
+            (opool_idx, opool_mask, _), = _compact_bands(
+                -appv, ov_valid_sel, jnp.zeros_like(in_slab), ci, None,
+                mask, row, ((0.0, 1e15, ov_pool),), [ov_pool])
         if ov_pool_size > 0 and ov_mode != "edges":
             # pool-FIRST geometry: dedupe the tile's targets before touching
             # xyzm, then read candidate geometry through the pool with

@@ -232,6 +232,18 @@ def build_model(cfg: TrainConfig, search_chunk: int = 1024) -> nn.Module:
     if _ovp < 0:
         raise ValueError(f"PCS_OV_POOL={_ovp}: must be >= 0")
     _enc_kw["ov_pool_size"] = _ovp
+    # windowed-selection candidate-pool size (A/B knob; clamped to the
+    # widest band's slot count in the encoder; the global-fallback search
+    # keeps the encoder's cand_k)
+    _ck = int(os.environ.get("PCS_CAND_K", 0))
+    if _ck:
+        _enc_kw["win_cand_k"] = _ck
+    # windowed candidate-selection strategy (see PointNetSegEncoder.sel_mode)
+    _sm = os.environ.get("PCS_SEL_MODE", "")
+    if _sm:
+        if _sm not in ("global", "slab"):
+            raise ValueError(f"PCS_SEL_MODE={_sm}: must be global|slab")
+        _enc_kw["sel_mode"] = _sm
     common = dict(num_classes=d.num_classes, voxel_sizes=d.voxel_sizes,
                   caps=d.caps, block_size=d.block_size)
     seg_extra = dict(diffusion_steps=getattr(cfg, "diffusion_steps", 0))

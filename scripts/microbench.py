@@ -291,6 +291,44 @@ def bench_windowed():
         t = repeat_timed(winsel, jnp.float32(0), reps=16)
         print(f" windowed top{ck} W={wdw} (S={s}): {t:.2f} ms")
 
+    # slab selection, batched (no lax.map): one [nt, T, S] distance einsum
+    # over shift-stacked slabs, then top-k / approx over the 768-wide axis
+    def slab_neg(x2):
+        x0 = x2.reshape(nt, t_tile, 3)
+        sq0 = sq.reshape(nt, t_tile)
+        m0 = mask.reshape(nt, t_tile)
+        parts, sparts, mparts = [], [], []
+        for sh in (1, 0, -1):
+            parts.append(jnp.roll(x0, sh, axis=0))
+            sparts.append(jnp.roll(sq0, sh, axis=0))
+            edge = jnp.ones((nt,), bool)
+            if sh == 1:
+                edge = edge.at[0].set(False)
+            elif sh == -1:
+                edge = edge.at[-1].set(False)
+            mparts.append(jnp.roll(m0, sh, axis=0) & edge[:, None])
+        slab = jnp.concatenate(parts, axis=1)        # [nt, S, 3]
+        sn = jnp.concatenate(sparts, axis=1)         # [nt, S]
+        sm = jnp.concatenate(mparts, axis=1)         # [nt, S]
+        d2 = sq0[:, :, None] + sn[:, None, :] - 2 * jnp.einsum(
+            "ntd,nsd->nts", x0, slab)
+        return jnp.where(sm[:, None, :], -d2, -1e30)
+
+    for ck in (48, 64):
+        def slab_exact(carry):
+            ci = jax.lax.top_k(slab_neg(xyz + carry * 1e-9), ck)[1]
+            return jnp.sum(ci).astype(jnp.float32) * 1e-9
+        t = repeat_timed(slab_exact, jnp.float32(0), reps=16)
+        print(f" slab-batched exact top{ck} W=256: {t:.2f} ms")
+
+        for rt in (0.8, 0.95):
+            def slab_approx(carry):
+                ci = jax.lax.approx_max_k(slab_neg(xyz + carry * 1e-9), ck,
+                                          recall_target=rt)[1]
+                return jnp.sum(ci).astype(jnp.float32) * 1e-9
+            t = repeat_timed(slab_approx, jnp.float32(0), reps=16)
+            print(f" slab-batched approx top{ck} rt={rt} W=256: {t:.2f} ms")
+
     # overflow: global approx over out-of-window entries only
     chunk = 2048
     for ko in (8, 16):
@@ -303,7 +341,8 @@ def bench_windowed():
                 q, qn_, qi_ = args
                 d2 = qn_[:, None] + sq[None, :] - 2 * (q @ x2.T)
                 inwin = jnp.abs(qi_[:, None]
-                                - jnp.arange(n, jnp.int32)[None, :]) <= 256
+                                - jnp.arange(n, dtype=jnp.int32)[None, :]
+                                ) <= 256
                 neg = jnp.where(mask[None, :] & ~inwin, -d2, -1e30)
                 return jax.lax.approx_max_k(neg, ko)[1].astype(jnp.int32)
             ci = jax.lax.map(one, (qc, qn, qi))

@@ -53,7 +53,8 @@ def band_recall(n=8192, cand_k=96, seed=0):
     return out
 
 
-def windowed_band_recall(n=8192, cand_k=64, seed=0):
+def windowed_band_recall(n=8192, cand_k=64, seed=0, sel_mode="global",
+                         ov_pool_size=0):
     """TPU recall of the production windowed path (Morton sort + relaxed
     approx selection + windowed/overflow compaction) vs an exact host
     reference.  Threshold 0.94: the windowed pool + rt=0.8 selection trade
@@ -69,7 +70,7 @@ def windowed_band_recall(n=8192, cand_k=64, seed=0):
                                   0.0375, 3.0)
     res = search.windowed_multi_band_neighbors(
         xs, ms, BANDS, tile=256, window=256, cand_k=cand_k, ov_slots=8,
-        chunk=2048)
+        chunk=2048, sel_mode=sel_mode, ov_pool_size=ov_pool_size)
     xn = np.asarray(xs)
     d2 = ((xn[:, None, :].astype(np.float64)
            - xn[None, :, :].astype(np.float64)) ** 2).sum(-1)
@@ -90,19 +91,31 @@ def windowed_band_recall(n=8192, cand_k=64, seed=0):
     return out
 
 
-def main():
+def main(argv=None):
+    """Default: the global-search contract + the production windowed
+    config.  --grid additionally sweeps sel_mode x cand_k at the
+    production tile-pool size (A/B data for choosing defaults)."""
+    argv = sys.argv[1:] if argv is None else argv
+    grid = "--grid" in argv
     ok = True
     for seed in (0, 1):
         for band, r in band_recall(seed=seed):
             status = "OK" if r >= 0.99 else "FAIL"
             ok &= r >= 0.99
             print(f"global seed={seed} band={band}: recall={r:.4f} {status}")
-    for seed in (0, 1):
-        for band, r in windowed_band_recall(seed=seed):
-            status = "OK" if r >= 0.94 else "FAIL"
-            ok &= r >= 0.94
-            print(f"windowed seed={seed} band={band}: recall={r:.4f} "
-                  f"{status}")
+    configs = [("global", 64, 384)]
+    if grid:
+        configs = [(m, ck, 384) for m in ("global", "slab")
+                   for ck in (64, 48, 32)]
+    for sel_mode, ck, pool in configs:
+        for seed in (0, 1):
+            for band, r in windowed_band_recall(seed=seed, cand_k=ck,
+                                                sel_mode=sel_mode,
+                                                ov_pool_size=pool):
+                status = "OK" if r >= 0.94 else "FAIL"
+                ok &= r >= 0.94
+                print(f"windowed[{sel_mode},ck={ck},P={pool}] seed={seed} "
+                      f"band={band}: recall={r:.4f} {status}")
     print("PASS" if ok else "FAIL")
     raise SystemExit(0 if ok else 1)
 

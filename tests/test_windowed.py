@@ -117,6 +117,58 @@ def test_windowed_union_recall_matches_oracle(rng):
         assert hit / max(tot, 1) >= 0.995, (mn, mx, k, hit / tot)
 
 
+def test_slab_selection_dominates_global_selection(rng):
+    """sel_mode='slab' (per-tile slab top-k + out-of-slab-only global pass)
+    selects from candidate pools that are SUPERSETS of the global
+    selection's (the slab pass ranks against all S slab columns, the
+    overflow pass against all out-of-slab columns, instead of whatever
+    survived one global cand_k cut) — so with no tile-pool cap, every row
+    must have at least as many neighbors, each at most as far (CPU lowers
+    approx_max_k to exact, making the domination deterministic)."""
+    xyz, mask, _ = _sorted_cloud(rng, 2048, n_valid=2000)
+    res = {mode: search.windowed_multi_band_neighbors(
+        jnp.asarray(xyz), jnp.asarray(mask), BANDS, tile=256, window=256,
+        cand_k=64, ov_slots=12, sel_mode=mode)
+        for mode in ("global", "slab")}
+    for (mn, mx, k), wg, ws in zip(BANDS, res["global"], res["slab"]):
+        for wn in (wg, ws):
+            assert isinstance(wn, WindowedNeighborhood)
+        gg, gm = np.asarray(wg.global_idx), np.asarray(wg.mask)
+        sg, sm_ = np.asarray(ws.global_idx), np.asarray(ws.mask)
+        assert (sm_.sum(1) >= gm.sum(1)).all(), (mn, mx)
+        for i in range(0, 2048, 7):
+            dg = np.sort(np.linalg.norm(xyz[gg[i][gm[i]]] - xyz[i], axis=1))
+            ds = np.sort(np.linalg.norm(xyz[sg[i][sm_[i]]] - xyz[i], axis=1))
+            assert (ds[:len(dg)] <= dg + 1e-6).all(), (mn, mx, i)
+
+
+@pytest.mark.parametrize("sel_mode", ["global", "slab"])
+def test_windowed_union_recall_by_sel_mode(rng, sel_mode):
+    """Oracle recall of the windowed+overflow union under each selection
+    strategy (pool-capacity bound on CPU; no false positives)."""
+    xyz, mask, _ = _sorted_cloud(rng, 1024, n_valid=1000)
+    res = search.windowed_multi_band_neighbors(
+        jnp.asarray(xyz), jnp.asarray(mask), BANDS, tile=128, window=128,
+        cand_k=64, ov_slots=12, sel_mode=sel_mode)
+    for (mn, mx, k), wn in zip(BANDS, res):
+        oracle_idx, oracle_mask = np_radius_neighbors(xyz, mask, mx, k,
+                                                      min_radius=mn)
+        g = np.asarray(wn.global_idx)
+        m = np.asarray(wn.mask)
+        tot = hit = 0
+        for i in range(1024):
+            if not mask[i]:
+                continue
+            true = set(oracle_idx[i][oracle_mask[i]].tolist())
+            got = set(g[i][m[i]].tolist())
+            tot += len(true)
+            hit += len(true & got)
+            for j in got - true:
+                d = np.linalg.norm(xyz[j] - xyz[i])
+                assert mn <= d <= mx + 1e-6, (i, j, d)
+        assert hit / max(tot, 1) >= 0.995, (mn, mx, k, hit / tot)
+
+
 def test_windowed_matches_global_path_through_conv(rng):
     """A conv layer fed a WindowedNeighborhood must produce the same output
     as the same layer fed the equivalent plain Neighborhood."""
