@@ -419,6 +419,11 @@ class PointNetSegEncoder(nn.Module):
     # tests/test_models.py.  Pair with SegClassifier(premixed=True).
     # Only valid for the concat decoder (deconv's per-level MLP is nonlinear).
     head_dim: Optional[int] = None
+    # rematerialize each conv in the backward pass (jax.checkpoint): the
+    # step is HBM-bound (MFU ~12%), so NOT storing the [N, K, d] edge
+    # activations for the backward and recomputing them from the conv
+    # inputs trades cheap MXU FLOPs for the dominant HBM traffic
+    remat: bool = False
 
     def _stage_neighborhoods(self, xyz, mask, specs,
                              edge_ratio: int = 3,
@@ -549,6 +554,8 @@ class PointNetSegEncoder(nn.Module):
                     else:
                         conv_cls = (PointNetConvFast if self.fast_conv
                                     else PointNetConv)
+                        if self.remat:
+                            conv_cls = nn.remat(conv_cls)
                         fpn = conv_cls(c.fc_dims, c.out,
                                        name=f"feats{conv_idx}")(
                             sxyz, fin, nbr, edges=edges, edge_band=band,

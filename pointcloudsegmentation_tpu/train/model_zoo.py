@@ -238,6 +238,10 @@ def build_model(cfg: TrainConfig, search_chunk: int = 1024) -> nn.Module:
     _ck = int(os.environ.get("PCS_CAND_K", 0))
     if _ck:
         _enc_kw["win_cand_k"] = _ck
+    # backward rematerialization of the conv stacks (A/B knob; see
+    # PointNetSegEncoder.remat)
+    if os.environ.get("PCS_REMAT", "") == "1":
+        _enc_kw["remat"] = True
     # windowed candidate-selection strategy (see PointNetSegEncoder.sel_mode)
     _sm = os.environ.get("PCS_SEL_MODE", "")
     if _sm:

@@ -1,0 +1,81 @@
+"""Sequential A/B bench arms in ONE process (device acquisition through the
+remote-TPU tunnel costs minutes, so arms share a process; see bench.py for
+the timing methodology — chained steps, one readback, median of 3 chains).
+
+Usage:  python scripts/ab_arms.py '[{"label": "base"},
+                                    {"label": "remat", "env": {"PCS_REMAT": "1"}},
+                                    {"label": "b8", "batch": 8}]'
+Each arm: {label, env?: {K: V}, batch?: int, points?: int, chunk?: int}.
+Prints one JSON line per arm.
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from pointcloudsegmentation_tpu.utils import cache as _cache  # noqa: E402
+
+_cache.enable()
+
+
+def run_arm(arm):
+    from pointcloudsegmentation_tpu.data import toy
+    from pointcloudsegmentation_tpu.train import Trainer, s3dis_config
+
+    env = arm.get("env", {})
+    batch = int(arm.get("batch", 4))
+    num_points = int(arm.get("points", 8192))
+    chunk = int(arm.get("chunk", 2048))
+    iters = int(arm.get("iters", 20))
+
+    saved = {k: os.environ.get(k) for k in env}
+    os.environ.update({k: str(v) for k, v in env.items()})
+    try:
+        cfg = s3dis_config(data_num_points=num_points,
+                           data_caps=(4096, 1024), data_feat_dim=12)
+        trainer = Trainer(cfg, search_chunk=chunk)
+        rng = jax.random.PRNGKey(0)
+        batches = list(toy.toy_batches(2, batch_size=batch,
+                                       num_points=num_points, kind="room",
+                                       num_classes=13, feat_dim=12))
+        state = trainer.init_state(rng, batches[0])
+        batches = jax.device_put(batches)
+        for i in range(3):
+            state, m = trainer.train_step(state, batches[i % 2], rng)
+        float(m["loss"])
+        valid = int(jax.device_get(batches[0]["mask"]).sum())
+        chains = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                state, m = trainer.train_step(state, batches[i % 2], rng)
+            float(m["loss"])
+            chains.append((time.perf_counter() - t0) / iters)
+        chains.sort()
+        dt = chains[len(chains) // 2]
+        return {"label": arm["label"], "points_per_sec": round(valid / dt, 1),
+                "step_ms": round(dt * 1e3, 2), "batch": batch,
+                "chains_ms": [round(c * 1e3, 2) for c in chains]}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def main():
+    arms = json.loads(sys.argv[1])
+    for arm in arms:
+        try:
+            res = run_arm(arm)
+        except Exception as e:  # keep later arms alive past a flaky arm
+            res = {"label": arm.get("label"), "error": repr(e)[:300]}
+        print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()
