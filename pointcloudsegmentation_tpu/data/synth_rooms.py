@@ -203,7 +203,10 @@ def synthetic_s3dis_room(rng: Optional[np.random.RandomState] = None,
     labels = np.concatenate(lbl, 0)
     rgb = np.concatenate([_color_for(rng, int(lb[0]), len(p))
                           for p, lb in zip(pts, lbl)], 0)
-    points = np.concatenate([xyz, rgb], 1).astype(np.float32)
+    # prepare_room/normalize_block expects sensor-range rgb (0..255, like the
+    # real S3DIS .txt rooms) and maps it to ~[-1, 1] via (c-128)/130.5;
+    # feeding unit-range colors would collapse every class to ~-0.98.
+    points = np.concatenate([xyz, rgb * 255.0], 1).astype(np.float32)
     perm = rng.permutation(len(points))
     return points[perm], labels[perm]
 

@@ -450,15 +450,15 @@ class PointNetSegEncoder(nn.Module):
         windowed = self.windowed and is_sorted \
             and os.environ.get("PCS_DISABLE_WINDOWED", "") != "1"
         if windowed and n % self.win_tile == 0 and n >= 4 * self.win_tile:
-            win_ck = self.win_cand_k or self.cand_k
-            win_ck = max(win_ck, max(k for (_, _, k) in bands))
             res = search.windowed_multi_band_neighbors(
                 xyz, mask, bands, tile=self.win_tile,
-                window=self.win_window, cand_k=min(win_ck, n),
+                window=self.win_window,
+                cand_k=search.effective_win_cand_k(
+                    self.win_cand_k, self.cand_k, bands, n),
                 ov_slots=self.ov_slots, chunk=min(self.search_chunk, n),
                 return_sxyz=True, ov_mode=self.ov_mode,
                 ov_pool_size=self.ov_pool_size,
-                sel_mode=self.sel_mode,
+                sel_mode=search.resolve_sel_mode(self.sel_mode),
                 edge_ratio=edge_ratio,
                 # NOTE: ov_window tiers were measured too lossy as default
                 # (Morton's tail is fat: 3-5% of neighbors sit at index

@@ -80,7 +80,8 @@ def unpool(feats: jnp.ndarray, pyramid: Pyramid, level: int) -> jnp.ndarray:
 def build_class_pyramid(xyz: jnp.ndarray, mask: jnp.ndarray,
                         labels: jnp.ndarray, num_classes: int,
                         voxel_size: float, cap: int,
-                        block_size: float = 3.0) -> Pyramid:
+                        block_size: float = 3.0,
+                        morton_sorted: bool = False) -> Pyramid:
     """Two-level pyramid whose voxels are class-pure: the packed voxel key
     includes the (predicted) class label, so points of different classes
     never share a segment (``class_pooling``,
@@ -98,7 +99,8 @@ def build_class_pyramid(xyz: jnp.ndarray, mask: jnp.ndarray,
     dxyz = jnp.where(mask[:, None], dxyz, 0.0)
     return Pyramid(levels=(Level(xyz=xyz, mask=mask),
                            Level(xyz=info.centers, mask=info.mask)),
-                   seg=(info.seg,), dxyz=(dxyz,))
+                   seg=(info.seg,), dxyz=(dxyz,),
+                   morton_sorted=morton_sorted)
 
 
 def average_downsample(xyz: jnp.ndarray, feats: jnp.ndarray,

@@ -151,12 +151,9 @@ def windowed_gather(feats: jnp.ndarray,
     backward (_windowed_take).  Both variants are bit-exact vs take().
     PCS_ONEHOT_FWD=0/1 overrides the backend default.
     """
-    import os
+    from .search import use_onehot_fwd
 
-    flag = os.environ.get("PCS_ONEHOT_FWD", "")
-    use_onehot = (jax.default_backend() == "tpu") if flag == "" \
-        else flag == "1"
-    if use_onehot:
+    if use_onehot_fwd():
         return _onehot_take(feats, wn.lidx, wn.window, wn.tile)
     n = feats.shape[0]
     tile_start = (jnp.arange(n, dtype=jnp.int32) // wn.tile) * wn.tile
@@ -198,53 +195,29 @@ def _pool_gather(feats: jnp.ndarray,
                  wn: WindowedNeighborhood) -> jnp.ndarray:
     """Overflow gather through the tile-shared pool: ONE [nt*P]-row gather
     (vs N*Ko rows for per-point slots), then per-point reads are local
-    one-hot matmuls over the pool.  The take's scatter-add adjoint touches
-    only nt*P rows — cheap — and the one-hot transpose is another einsum,
-    so no custom VJP is needed.
+    one-hot matmuls over the pool (search._pool_take — the single
+    implementation of the bit-exact pool read and its backend split).  The
+    take's scatter-add adjoint touches only nt*P rows — cheap — and the
+    one-hot transpose is another einsum, so no custom VJP is needed.
 
-    Invalid slots (ov_idx == P) hit the one-hot null row; the final select
+    Invalid slots (ov_idx == P) hit _pool_take's null row; the final select
     restores the self-padding contract (invalid slot == center features,
-    so neighbor_diff is exactly 0 there).
-
-    Backend split mirrors windowed_gather: the one-hot einsum only on TPU
-    (CPU matmuls run reduced precision and are slower than gathers there —
-    the two-step row gather is bit-exact)."""
-    import os
+    so neighbor_diff is exactly 0 there)."""
+    from .search import _pool_take
 
     n, f = feats.shape
     nt, p = wn.pool_idx.shape
     tile = n // nt
-    ko = wn.ov_idx.shape[-1]
-    flag = os.environ.get("PCS_ONEHOT_FWD", "")
-    use_onehot = (jax.default_backend() == "tpu") if flag == "" \
-        else flag == "1"
-    if use_onehot:
-        pf = jnp.take(feats, wn.pool_idx.reshape(-1),
-                      axis=0).reshape(nt, p, f)
-        oh = jax.nn.one_hot(wn.ov_idx.reshape(nt, tile, ko), p,
-                            dtype=feats.dtype)
-        # HIGHEST: default-precision TPU matmuls round f32 operands to bf16;
-        # with a one-hot lhs the f32-split passes reconstruct the selected
-        # rows BIT-EXACTLY (1.0 * hi + 1.0 * lo), matching take()
-        ov = jnp.einsum("ntkp,npf->ntkf", oh, pf,
-                        preferred_element_type=feats.dtype,
-                        precision=jax.lax.Precision.HIGHEST
-                        ).reshape(n, ko, f)
-    else:
-        pos = jnp.clip(wn.ov_idx.reshape(nt, -1), 0, p - 1)
-        gidx = jnp.take_along_axis(wn.pool_idx, pos, axis=1).reshape(n, ko)
-        ov = jnp.take(feats, gidx, axis=0)
+    pf = jnp.take(feats, wn.pool_idx.reshape(-1), axis=0).reshape(nt, p, f)
+    ov = _pool_take(pf, wn.ov_idx, tile)
     return jnp.where(wn.ov_mask[..., None], ov, feats[:, None, :])
 
 
 def _tiered_gather(feats, lidx, window, tile):
     """Gather in a wider window tier — one-hot on TPU, row gather on CPU."""
-    import os
+    from .search import use_onehot_fwd
 
-    flag = os.environ.get("PCS_ONEHOT_FWD", "")
-    use_onehot = (jax.default_backend() == "tpu") if flag == "" \
-        else flag == "1"
-    if use_onehot:
+    if use_onehot_fwd():
         return _onehot_take(feats, lidx, window, tile)
     n = feats.shape[0]
     tile_start = (jnp.arange(n, dtype=jnp.int32) // tile) * tile

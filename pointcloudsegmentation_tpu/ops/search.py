@@ -178,6 +178,16 @@ def _tile_shared_pool(opool_idx: jnp.ndarray, opool_mask: jnp.ndarray,
     return jnp.where(pool_valid, pool_g, 0), ppos.reshape(n, op)
 
 
+def use_onehot_fwd() -> bool:
+    """ONE policy for 'express this gather as a one-hot MXU matmul':
+    backend default (TPU yes, CPU no — CPU matmuls run reduced precision
+    and are slower than row gathers there), PCS_ONEHOT_FWD=0/1 overrides."""
+    import os
+
+    flag = os.environ.get("PCS_ONEHOT_FWD", "")
+    return (jax.default_backend() == "tpu") if flag == "" else flag == "1"
+
+
 def _pool_take(pvals: jnp.ndarray, ppos: jnp.ndarray,
                tile: int) -> jnp.ndarray:
     """Read per-point values through a tile-shared pool: [nt, P, F] pool
@@ -190,7 +200,7 @@ def _pool_take(pvals: jnp.ndarray, ppos: jnp.ndarray,
     """
     nt, p, f = pvals.shape
     n, k = ppos.shape
-    if jax.default_backend() == "tpu":
+    if use_onehot_fwd():
         oh = jax.nn.one_hot(ppos.reshape(nt, tile, k), p, dtype=pvals.dtype)
         return jnp.einsum("ntkp,npf->ntkf", oh, pvals,
                           preferred_element_type=pvals.dtype,
@@ -384,6 +394,30 @@ def multi_band_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray,
     return tuple(out)
 
 
+def resolve_sel_mode(sel_mode: str) -> str:
+    """Apply the PCS_SEL_MODE override and reject unknown values — an
+    unvalidated typo ('salb') would otherwise fall through
+    windowed_multi_band_neighbors' ``if sel_mode == "slab"`` into the global
+    branch and silently benchmark the wrong strategy."""
+    import os
+
+    sel_mode = os.environ.get("PCS_SEL_MODE", "") or sel_mode
+    if sel_mode not in ("slab", "global"):
+        raise ValueError(f"sel_mode must be 'slab' or 'global', got "
+                         f"{sel_mode!r} (check PCS_SEL_MODE)")
+    return sel_mode
+
+
+def effective_win_cand_k(win_cand_k, cand_k: int, bands, n: int) -> int:
+    """The windowed selection pool size policy, shared by every windowed
+    call site: ``win_cand_k`` if set (None/0 -> fall back to the global
+    ``cand_k``), raised to the widest band's slot count (each band's top-k
+    must fit in the pool), capped at n."""
+    ck = cand_k if not win_cand_k else win_cand_k
+    ck = max(ck, max(k for (_, _, k) in bands))
+    return min(ck, n)
+
+
 def band_neighbors_auto(xyz: jnp.ndarray, mask: jnp.ndarray, bands,
                         cand_k: int = 64, chunk: int = 1024,
                         return_sxyz: bool = False, windowed: bool = True,
@@ -411,14 +445,13 @@ def band_neighbors_auto(xyz: jnp.ndarray, mask: jnp.ndarray, bands,
 
     if os.environ.get("PCS_DISABLE_WINDOWED", "") == "1":
         windowed = False
-    sel_mode = os.environ.get("PCS_SEL_MODE", sel_mode)
+    sel_mode = resolve_sel_mode(sel_mode)
     n = xyz.shape[0]
     if windowed and sorted and n % tile == 0 and n >= 4 * tile:
-        win_ck = win_cand_k or cand_k
-        win_ck = max(win_ck, max(k for (_, _, k) in bands))
         return windowed_multi_band_neighbors(
             xyz, mask, bands, tile=tile, window=window,
-            cand_k=min(win_ck, n), ov_slots=ov_slots,
+            cand_k=effective_win_cand_k(win_cand_k, cand_k, bands, n),
+            ov_slots=ov_slots,
             chunk=min(chunk, n), recall_target=recall_target,
             return_sxyz=return_sxyz, ov_pool_size=ov_pool_size,
             sel_mode=sel_mode)

@@ -128,7 +128,8 @@ class RefineCascadeModel(nn.Module):
         cap = self.refine_cap or self.caps[-1]
         cpyr = hier.build_class_pyramid(xyz, mask, preds, self.num_classes,
                                         self.refine_voxel, cap,
-                                        self.block_size)
+                                        self.block_size,
+                                        morton_sorted=self.morton_sort)
         rgf, rlf = SemanticPoolRefine(name="refine")(
             cpyr, jax.lax.stop_gradient(gf))
         rgf = jnp.concatenate([rgf, gf], axis=-1)

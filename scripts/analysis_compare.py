@@ -39,11 +39,6 @@ _EPOCH_RE = re.compile(
     r"oIoU ([\d.eE+-]+) oAcc ([\d.eE+-]+)")
 _CLASS_RE = re.compile(r"class (\d+) iou ([\d.eE+-]+) acc ([\d.eE+-]+)")
 
-CLASS_NAME_SETS = {
-    "s3dis": None,     # resolved lazily from data/s3dis.py (no jax import)
-}
-
-
 def _s3dis_names():
     return ("ceiling", "floor", "wall", "beam", "column", "window", "door",
             "table", "chair", "sofa", "bookcase", "board", "clutter")
@@ -70,7 +65,14 @@ def load_run(path: str):
                         "miou": float(m.group(3)),
                         "oiou": float(m.group(4)),
                         "oacc": float(m.group(5))})
-    return [r for r in records if "miou" in r]
+    # drop --eval records (epoch=-1, split="eval" — cli.py appends them to
+    # the same JSONL) and dedupe restored/re-run epochs, keeping the LAST
+    # record per epoch so appended re-runs don't draw backward-jumping curves
+    records = [r for r in records
+               if "miou" in r and r.get("split") != "eval"
+               and r.get("epoch", 0) >= 0]
+    by_epoch = {r["epoch"]: r for r in records}
+    return [by_epoch[e] for e in sorted(by_epoch)]
 
 
 def curve(records, key):
@@ -112,7 +114,9 @@ def main(argv=None):
         ax.plot(curve(rec, "epoch"), y, label=lab, linewidth=1.5)
         summary[lab] = {"final": float(y[-1]),
                         "best": float(np.nanmax(y)),
-                        "best_epoch": int(np.nanargmax(y)),
+                        # the record's epoch field, not its index — restored
+                        # runs start at epoch > 0
+                        "best_epoch": int(rec[int(np.nanargmax(y))]["epoch"]),
                         "epochs": len(y)}
     ax.set_xlabel("epoch")
     ax.set_ylabel(args.metric)

@@ -25,6 +25,11 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# pin ONE search path for every arm: the extended shard length L+2*halo
+# otherwise toggles the windowed-eligibility check (n % 256 == 0, n >= 1024)
+# per halo, mixing windowed-vs-exact search error into the halo-truncation
+# measurement this study exists to isolate
+os.environ["PCS_DISABLE_WINDOWED"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

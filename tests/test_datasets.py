@@ -293,3 +293,23 @@ def test_semantic3d_context_pipeline(rng, tmp_path):
         d2 = ((batch["xyz"][bi][m][:, None, :] - cx[None, :, :]) ** 2
               ).sum(-1)
         assert np.array_equal(batch["ctx_idx"][bi][m], d2.argmin(1))
+
+
+def test_synth_rooms_color_signal_survives_prep(rng):
+    """Regression: the generator must emit sensor-range rgb (0..255) —
+    unit-range colors collapse to ~-0.98 after normalize_block's
+    (c-128)/130.5, erasing the per-class color distributions the parity
+    A/B depends on."""
+    from pointcloudsegmentation_tpu.data import synth_rooms
+
+    blocks = synth_rooms.room_blocks(np.random.RandomState(0), num_rooms=1,
+                                     model="test")
+    rgb = np.concatenate([b["feats"][:, :3] for b in blocks], 0)
+    assert rgb.std() > 0.1                      # real variance, not jitter
+    assert rgb.min() < -0.5 and rgb.max() > 0.1  # spans the normalized range
+    # per-class mean colors stay distinguishable through the full prep
+    labels = np.concatenate([b["labels"] for b in blocks], 0)
+    means = {c: rgb[labels == c].mean(0) for c in np.unique(labels)
+             if (labels == c).sum() > 50}
+    vals = np.stack(list(means.values()))
+    assert np.abs(vals[:, None, :] - vals[None, :, :]).max() > 0.3
