@@ -44,8 +44,12 @@ def morton_code(coords: jnp.ndarray) -> jnp.ndarray:
 def morton_order(xyz: jnp.ndarray, mask: jnp.ndarray, cell: float,
                  block_size: float) -> jnp.ndarray:
     """Permutation sorting valid points by Morton code; padded (invalid)
-    rows sort to the end.  Grid min is -block_size/2 per axis (matching
-    ops.voxelize.voxel_coords).
+    rows sort to the end.  The grid origin is the masked min corner
+    (matching ops.voxelize.voxel_coords): a fixed [-bs/2, bs/2] frame
+    would clip every coordinate above bs/2 into the last cell — S3DIS
+    blocks keep z in [0, bs] and whole scenes live in [0, extent], so
+    half of each such axis would sort as ONE cell (shards/windows then
+    interleave spatially — the round-3 scene_shard plateau).
 
     Returns order [N] int32 such that x_sorted = x[order].
 
@@ -55,8 +59,12 @@ def morton_order(xyz: jnp.ndarray, mask: jnp.ndarray, cell: float,
     identity on large scenes (the scene_shard fidelity bug).
     """
     cell = max(float(cell), float(block_size) / (1 << _BITS))
-    grid = min(int(-(-block_size // cell)) + 1, 1 << _BITS)
-    c = jnp.floor((xyz + 0.5 * block_size) / cell).astype(jnp.int32)
+    grid = min(int(-(-block_size // cell)) + 2, 1 << _BITS)
+    lo = jnp.min(jnp.where(mask[:, None], xyz, jnp.float32(3.4e38)), axis=0)
+    # lattice-quantized origin (see ops.voxelize.voxel_coords): edge-point
+    # changes shift cell walls by whole cells only, keeping the sort stable
+    lo = cell * jnp.floor(lo / cell)
+    c = jnp.floor((xyz - lo[None, :]) / cell).astype(jnp.int32)
     c = jnp.clip(c, 0, grid - 1)
     key = morton_code(c)
     key = jnp.where(mask, key, jnp.iinfo(jnp.int32).max)

@@ -41,11 +41,33 @@ class VoxelInfo(NamedTuple):
 
 
 def voxel_coords(xyz: jnp.ndarray, voxel_size: float,
-                 block_size: float) -> Tuple[jnp.ndarray, int]:
-    """Integer voxel coordinates; grid min is -block_size/2 per axis,
-    matching the reference op's attrs (ComputeVoxelIdx.cc:27-39)."""
-    grid = int(-(-block_size // voxel_size)) + 1  # ceil + 1 slack cell
-    c = jnp.floor((xyz + 0.5 * block_size) / voxel_size).astype(jnp.int32)
+                 block_size: float,
+                 mask: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, int]:
+    """Integer voxel coordinates.  The grid origin is the (masked) min
+    corner of the point set — the reference derives it the same way
+    (points_pooling subtracts the block min before ComputeVoxelIdx,
+    ComputeVoxelIdx.cc:27-39).  A FIXED [-bs/2, bs/2] frame would clip
+    every coordinate above bs/2 into the last cell: S3DIS-style blocks
+    center xy but keep z in [0, bs], so half the block's height would
+    voxel-merge vertically (and whole-scene callers with coords in
+    [0, extent] would lose half of every axis).  ``block_size`` only
+    sizes the static grid.
+
+    The origin is QUANTIZED to the cell lattice (vs * floor(min/vs)), so
+    cell walls sit at absolute multiples of voxel_size: adding or removing
+    edge points (e.g. a different scene_shard halo) can only add/remove
+    whole cells, never shift every cell boundary — voxel identities stay
+    stable under changes to the point set's hull."""
+    grid = int(-(-block_size // voxel_size)) + 2  # ceil + slack + quant cell
+    if mask is None:
+        lo = jnp.min(xyz, axis=0)
+    else:
+        lo = jnp.min(jnp.where(mask[:, None], xyz, jnp.float32(3.4e38)),
+                     axis=0)
+    lo = voxel_size * jnp.floor(lo / voxel_size)
+    lo = jax.lax.stop_gradient(lo)
+    c = jnp.floor((xyz - lo[None, :]) / voxel_size).astype(jnp.int32)
     return jnp.clip(c, 0, grid - 1), grid
 
 
@@ -116,7 +138,7 @@ def voxelize(xyz: jnp.ndarray, mask: jnp.ndarray, voxel_size: float,
     """
     from . import segments as seg_ops
 
-    coords, grid = voxel_coords(xyz, voxel_size, block_size)
+    coords, grid = voxel_coords(xyz, voxel_size, block_size, mask)
     key = pack_keys(coords, grid)
     seg = compute_segments(key, mask, v_max)
     counts = seg_ops.segment_count(seg, v_max)
@@ -167,7 +189,7 @@ def voxelize_with_labels(xyz: jnp.ndarray, mask: jnp.ndarray,
     from . import segments as seg_ops
 
     del num_classes  # partition needs only label distinctness, not the count
-    coords, grid = voxel_coords(xyz, voxel_size, block_size)
+    coords, grid = voxel_coords(xyz, voxel_size, block_size, mask)
     key = pack_keys(coords, grid)
     seg = compute_segments(key, mask, v_max, key2=labels)
     counts = seg_ops.segment_count(seg, v_max)

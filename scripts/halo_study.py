@@ -45,7 +45,8 @@ import numpy as np
 from pointcloudsegmentation_tpu.ops import morton
 from pointcloudsegmentation_tpu.parallel import make_mesh
 from pointcloudsegmentation_tpu.parallel.scene_shard import (
-    model_receptive_field, required_halo, scene_apply)
+    geometric_required_halo, model_receptive_field, required_halo,
+    scene_apply)
 from pointcloudsegmentation_tpu.train import build_model, s3dis_config
 from pointcloudsegmentation_tpu.utils import cache as _cache
 from pointcloudsegmentation_tpu.utils.logging import get_logger
@@ -85,8 +86,11 @@ def main():
     # one model sized for the largest extended shard; flax modules are
     # shape-polymorphic, so the same params serve every halo
     ext = L + 2 * h_max
+    # caps at 1 voxel/point: the corridor is far sparser than a real block,
+    # so voxel counts approach the point count; a saturated cap drops
+    # points in Morton-rank order and dominates the fidelity signal
     cfg = s3dis_config(model="tiny_s3dis", data_num_points=ext,
-                       data_caps=(ext // 2, ext // 8),
+                       data_caps=(ext, ext // 2),
                        data_block_size=float(args.length))
     model = build_model(cfg, search_chunk=256)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((ext, 3)),
@@ -95,14 +99,17 @@ def main():
     def apply_fn(prm, x, f, m):
         return model.apply(prm, x, f, m, False)
 
-    def run(h):
+    def run(h, mode):
         return np.asarray(scene_apply(
             apply_fn, params, xyz, feats, mask, mesh, halo=h,
-            sort_cell=args.sort_cell, scene_extent=args.length))
+            sort_cell=args.sort_cell, scene_extent=args.length,
+            halo_mode=mode, halo_cell=cfg.data.voxel_sizes[-1]))
 
-    ref = run(h_max)
+    ref = run(h_max, "index")         # full neighbor shards, no selection
 
-    # the rule: data-driven halo at the model's receptive field
+    # the rules: data-driven halo at the model's receptive field, for both
+    # selection modes (geom needs the boundary-band content; index needs to
+    # cover the Morton curve's fat-tailed cross-boundary index reach)
     rf = model_receptive_field(model.encoder.arch)
     xyz_s, mask_s, order = morton.sort_block(xyz, mask, args.sort_cell,
                                              args.length)
@@ -110,25 +117,33 @@ def main():
                                100.0)
     need_p999 = required_halo(np.asarray(xyz_s), np.asarray(mask_s), d, rf,
                               99.9)
-    log.info("receptive field %.2f m -> required halo: exact=%d p99.9=%d "
-             "(L=%d)", rf, need_exact, need_p999, L)
+    geom_need, unreachable = geometric_required_halo(
+        np.asarray(xyz_s), np.asarray(mask_s), d, rf)
+    log.info("receptive field %.2f m -> required halo: index exact=%d "
+             "p99.9=%d | geom=%d (unreachable pairs=%d) (L=%d)",
+             rf, need_exact, need_p999, geom_need, unreachable, L)
 
     m_np = np.asarray(mask)
     rows = []
-    for h in sorted(set(args.halos + [min(need_p999, L - 1)])):
-        out = run(h)
-        dm = np.abs(out - ref)[m_np]
-        agree = float((out.argmax(-1) == ref.argmax(-1))[m_np].mean())
-        rows.append({"halo": int(h),
-                     "argmax_agreement": round(agree, 5),
-                     "logit_mae": round(float(dm.mean()), 6),
-                     "logit_max_err": round(float(dm.max()), 4)})
-        log.info("halo %4d: agree %.4f mae %.5f max %.3f", h, agree,
-                 dm.mean(), dm.max())
+    for h in sorted(set(args.halos + [min(need_p999, L - 1),
+                                      min(geom_need, L - 1)])):
+        row = {"halo": int(h)}
+        for mode in ("geom", "index"):
+            out = run(h, mode)
+            dm = np.abs(out - ref)[m_np]
+            agree = float((out.argmax(-1) == ref.argmax(-1))[m_np].mean())
+            row[f"{mode}_argmax_agreement"] = round(agree, 5)
+            row[f"{mode}_logit_mae"] = round(float(dm.mean()), 6)
+            row[f"{mode}_logit_max_err"] = round(float(dm.max()), 4)
+            log.info("halo %4d %5s: agree %.4f mae %.5f max %.3f", h, mode,
+                     agree, dm.mean(), dm.max())
+        rows.append(row)
 
     res = {"n": args.n, "length": args.length, "shards": d,
            "receptive_field_m": rf, "required_halo_exact": int(need_exact),
-           "required_halo_p999": int(need_p999), "rows": rows}
+           "required_halo_p999": int(need_p999),
+           "geom_required_halo": int(geom_need),
+           "unreachable_pairs": int(unreachable), "rows": rows}
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=2)

@@ -48,8 +48,10 @@ def np_morton3(c):
 def np_voxel_segments(xyz, mask, voxel_size, block_size):
     """Voxel id per point, in spatial-key order (first-occupied-key = 0).
     Keys are Morton codes, matching ops.voxelize.pack_keys."""
-    grid = int(np.ceil(block_size / voxel_size)) + 1
-    c = np.floor((xyz + block_size / 2) / voxel_size).astype(np.int64)
+    grid = int(np.ceil(block_size / voxel_size)) + 2
+    lo = xyz[mask].min(0) if mask.any() else np.zeros(3)
+    lo = voxel_size * np.floor(lo / voxel_size)
+    c = np.floor((xyz - lo) / voxel_size).astype(np.int64)
     c = np.clip(c, 0, grid - 1)
     key = np_morton3(c)
     uniq = np.unique(key[mask])

@@ -75,7 +75,8 @@ def test_scene_apply_matches_sequential():
         return model.apply(p, x, f, m, False)
 
     logits = scene_apply(apply_fn, params, xyz, feats, mask, mesh,
-                         halo=halo, sort_cell=0.2, scene_extent=64.0)
+                         halo=halo, sort_cell=0.2, scene_extent=64.0,
+                         halo_mode="index")
     assert logits.shape == (2048, cfg.data.num_classes)
     assert np.isfinite(np.asarray(logits)[np.asarray(mask)]).all()
 
@@ -145,4 +146,135 @@ def test_halo_rule_and_check(rng=None):
         scene_apply(boom, None, xyz, feats, mask, mesh,
                     halo=too_small, sort_cell=0.2,
                     scene_extent=64.0, receptive_field=0.2,
-                    halo_percentile=100.0)
+                    halo_percentile=100.0, halo_mode="index")
+
+
+def test_geometric_halo_exchange_selects_nearest():
+    """Each shard must receive exactly its neighbor's ``halo`` points
+    nearest to its own bounding box (deterministic corridor layout)."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pointcloudsegmentation_tpu.parallel.scene_shard import \
+        geometric_halo_exchange
+
+    mesh = make_mesh()
+    d = mesh.size
+    L, halo = 32, 4
+    # points laid out along x, one unit apart, sorted: shard i owns
+    # x in [i*L, (i+1)*L)
+    x = jnp.stack([jnp.arange(d * L, dtype=jnp.float32),
+                   jnp.zeros(d * L), jnp.zeros(d * L)], axis=1)
+    f = jnp.arange(d * L, dtype=jnp.float32)[:, None]
+    m = jnp.ones((d * L,), bool)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("data"), P("data"), P("data")),
+             out_specs=(P("data"), P("data"), P("data")))
+    def run(xs, fs, ms):
+        xe, fe, me = geometric_halo_exchange(xs, fs, ms, halo, "data")
+        return xe[None], fe[None], me[None]
+
+    xe, fe, me = run(x, f, m)
+    xe = np.asarray(xe).reshape(d, L + 2 * halo, 3)
+    me = np.asarray(me).reshape(d, L + 2 * halo)
+    for i in range(d):
+        # left halo: the LAST halo points of shard i-1 (nearest to my box)
+        if i > 0:
+            got = np.sort(xe[i, :halo, 0])
+            np.testing.assert_array_equal(got,
+                                          np.arange(i * L - halo, i * L))
+            assert me[i, :halo].all()
+        else:
+            assert not me[i, :halo].any()      # wrapped ring end invalid
+        # right halo: the FIRST halo points of shard i+1
+        if i < d - 1:
+            got = np.sort(xe[i, -halo:, 0])
+            np.testing.assert_array_equal(
+                got, np.arange((i + 1) * L, (i + 1) * L + halo))
+            assert me[i, -halo:].all()
+        else:
+            assert not me[i, -halo:].any()
+        np.testing.assert_array_equal(xe[i, halo:-halo, 0],
+                                      np.arange(i * L, (i + 1) * L))
+
+
+def test_geom_halo_receptive_cone_completeness():
+    """The halo CONTRACT is receptive-cone completeness: every core
+    point's rf-ball (vs the full scene) must be present in the extended
+    shard.  Geometric selection achieves it at its data-driven buffer
+    size; index selection at the same size cannot (the Morton curve's
+    index reach is fat-tailed), needing its own far larger requirement.
+
+    Model-level argmax agreement is NOT the contract: the global
+    max-pooled feature's composition changes with any halo content and
+    uniformly perturbs random-init logits (measured: mid-shard points
+    whose cones never touch the halo flip as often as near-cut points)."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from scipy.spatial import cKDTree
+
+    from pointcloudsegmentation_tpu.parallel.scene_shard import (
+        geometric_halo_exchange, geometric_required_halo, halo_exchange,
+        halo_validity, required_halo)
+
+    mesh = make_mesh()
+    d = mesh.size
+    rng = np.random.RandomState(1)
+    n = 2048
+    xyz, feats, mask = _scene(rng, n=n)
+    L = n // d
+    rf = 0.6
+
+    xs, ms, _ = morton.sort_block(xyz, mask, 0.2, 64.0)
+    xs_np, ms_np = np.asarray(xs), np.asarray(ms)
+    geom_need, unreachable = geometric_required_halo(xs_np, ms_np, d, rf)
+    index_need = required_halo(xs_np, ms_np, d, rf, 100.0)
+    assert unreachable == 0      # compact shards: only adjacent pairs
+    # the structural win: the geometric buffer is far smaller
+    assert geom_need <= index_need / 2, (geom_need, index_need)
+
+    halo = min(geom_need, L)
+    fs = jnp.zeros((n, 1), jnp.float32)
+
+    def collect(mode):
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P("data"), P("data"), P("data")),
+                 out_specs=(P("data"), P("data")))
+        def run(x, f, m):
+            if mode == "geom":
+                xe, _, me = geometric_halo_exchange(x, f, m, halo, "data")
+            else:
+                xe = halo_exchange(x, halo, "data")
+                me = halo_validity(halo_exchange(m, halo, "data"), halo,
+                                   "data")
+            return xe[None], me[None]
+
+        xe, me = run(xs, fs, ms)
+        return (np.asarray(xe).reshape(d, L + 2 * halo, 3),
+                np.asarray(me).reshape(d, L + 2 * halo))
+
+    def missing_neighbors(xe, me):
+        """rf-ball neighbors of valid core points absent from the
+        extended shard (set semantics, exact f32 bytes as identity)."""
+        valid_pts = xs_np[ms_np].astype(np.float32)
+        tree = cKDTree(valid_pts)
+        miss = 0
+        for i in range(d):
+            have = {p.astype(np.float32).tobytes() for p, ok in
+                    zip(xe[i], me[i]) if ok}
+            core = xs_np[i * L:(i + 1) * L][ms_np[i * L:(i + 1) * L]]
+            for j in tree.query_ball_point(core, rf):
+                for q in valid_pts[j]:
+                    if q.tobytes() not in have:
+                        miss += 1
+        return miss
+
+    assert missing_neighbors(*collect("geom")) == 0
+    # the index exchange at the SAME buffer size must be incomplete —
+    # otherwise the geometric machinery would be pointless here
+    assert missing_neighbors(*collect("index")) > 0

@@ -122,3 +122,46 @@ def test_class_pure_segments_no_int32_overflow(rng):
     # every segment is class-pure
     for s in np.unique(seg):
         assert len(np.unique(labels[seg == s])) == 1
+
+
+def test_grid_origin_covers_min_based_frames(rng):
+    """Regression: S3DIS-style blocks center xy but keep z in [0, bs]; a
+    fixed [-bs/2, bs/2] grid clipped everything above bs/2 into one cell,
+    merging the upper half of every block vertically."""
+    n = 400
+    xyz = np.stack([rng.uniform(-1.5, 1.5, n), rng.uniform(-1.5, 1.5, n),
+                    rng.uniform(0.0, 3.0, n)], 1).astype(np.float32)
+    mask = np.ones(n, bool)
+    info = vox.voxelize(jnp.asarray(xyz), jnp.asarray(mask), 0.3, 3.0, 512)
+    seg = np.asarray(info.seg)
+    top = xyz[:, 2] > 1.6                 # the formerly-clipped region
+    # distinct z-layers must exist above the old cutoff: points 0.6 m apart
+    # in z with identical xy-cell must NOT share a voxel (lattice origin:
+    # cell walls at absolute multiples of voxel_size)
+    zc = np.floor(xyz[:, 2] / 0.3).astype(int)
+    for v in np.unique(seg[top]):
+        assert len(np.unique(zc[seg == v])) == 1
+    # and the z-extent within every voxel stays <= voxel_size
+    for v in np.unique(seg[mask]):
+        zs = xyz[seg == v, 2]
+        assert zs.max() - zs.min() <= 0.3 + 1e-6
+
+
+def test_morton_order_scene_frame(rng):
+    """Regression: a [0, extent] scene must Morton-sort into spatially
+    compact index ranges over the WHOLE extent (the fixed centered frame
+    collapsed the upper half into one cell, interleaving shards)."""
+    from pointcloudsegmentation_tpu.ops import morton
+
+    n, length = 4096, 48.0
+    xyz = np.stack([rng.uniform(0, length, n), rng.uniform(-1.5, 1.5, n),
+                    rng.uniform(0, 3.0, n)], 1).astype(np.float32)
+    mask = np.ones(n, bool)
+    xs, ms, order = morton.sort_block(jnp.asarray(xyz), jnp.asarray(mask),
+                                      0.2, length)
+    xs = np.asarray(xs)
+    # each eighth of the sorted order must span only a small x range
+    for i in range(8):
+        span = xs[i * (n // 8):(i + 1) * (n // 8), 0]
+        assert span.max() - span.min() < length / 4, (i, span.min(),
+                                                      span.max())
