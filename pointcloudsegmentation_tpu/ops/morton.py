@@ -41,6 +41,26 @@ def morton_code(coords: jnp.ndarray) -> jnp.ndarray:
             | (_spread3(c[:, 2]) << 2))
 
 
+def np_morton_code(coords: "np.ndarray") -> "np.ndarray":
+    """Host-side (numpy) mirror of :func:`morton_code` for code that sizes
+    or validates device selections on the host (e.g.
+    parallel.scene_shard.geometric_required_halo) — must stay in sync with
+    ``_BITS`` and the bit layout above.  (tests/oracles.py keeps its OWN
+    independent implementation on purpose — it is the oracle.)"""
+    import numpy as np
+
+    def spread(x):
+        x = x.astype(np.int64) & ((1 << _BITS) - 1)
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    return (spread(coords[:, 0]) | (spread(coords[:, 1]) << 1)
+            | (spread(coords[:, 2]) << 2))
+
+
 def morton_order(xyz: jnp.ndarray, mask: jnp.ndarray, cell: float,
                  block_size: float) -> jnp.ndarray:
     """Permutation sorting valid points by Morton code; padded (invalid)

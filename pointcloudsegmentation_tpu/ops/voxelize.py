@@ -59,7 +59,10 @@ def voxel_coords(xyz: jnp.ndarray, voxel_size: float,
     edge points (e.g. a different scene_shard halo) can only add/remove
     whole cells, never shift every cell boundary — voxel identities stay
     stable under changes to the point set's hull."""
-    grid = int(-(-block_size // voxel_size)) + 2  # ceil + slack + quant cell
+    # ceil + slack + quant cell, capped at pack_keys' 10-bit key space —
+    # with a min-corner origin the cap only merges points beyond 1024
+    # cells (e.g. >150 m at 0.15 m voxels), never the block interior
+    grid = min(int(-(-block_size // voxel_size)) + 2, 1 << 10)
     if mask is None:
         lo = jnp.min(xyz, axis=0)
     else:

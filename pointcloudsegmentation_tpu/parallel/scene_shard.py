@@ -177,6 +177,21 @@ def model_receptive_field(arch) -> float:
     return float(sum(c.radius for st in arch.stages for c in st.convs))
 
 
+def _neighbor_pairs(xyz_sorted, mask, receptive_field):
+    """(xyz f32, mask bool, pi, pj) with pi/pj absolute row indices of every
+    valid point pair within ``receptive_field`` meters (one KD-tree pass —
+    shared by :func:`required_halo` / :func:`geometric_required_halo`)."""
+    import numpy as np
+    from scipy.spatial import cKDTree
+
+    xyz = np.asarray(xyz_sorted, np.float32)
+    m = np.asarray(mask, bool)
+    valid_idx = np.nonzero(m)[0]
+    tree = cKDTree(xyz[valid_idx])
+    pairs = tree.query_pairs(receptive_field, output_type="ndarray")
+    return xyz, m, valid_idx[pairs[:, 0]], valid_idx[pairs[:, 1]]
+
+
 def required_halo(xyz_sorted: "np.ndarray", mask: "np.ndarray",
                   n_shards: int, receptive_field: float,
                   percentile: float = 100.0) -> int:
@@ -194,19 +209,11 @@ def required_halo(xyz_sorted: "np.ndarray", mask: "np.ndarray",
     with the same sort_cell/scene_extent).
     """
     import numpy as np
-    from scipy.spatial import cKDTree
 
-    xyz = np.asarray(xyz_sorted, np.float32)
-    m = np.asarray(mask, bool)
-    n = len(xyz)
-    L = n // n_shards
-    valid_idx = np.nonzero(m)[0]
-    tree = cKDTree(xyz[valid_idx])
-    pairs = tree.query_pairs(receptive_field, output_type="ndarray")
-    if len(pairs) == 0:
+    xyz, m, i, j = _neighbor_pairs(xyz_sorted, mask, receptive_field)
+    L = len(xyz) // n_shards
+    if len(i) == 0:
         return 1
-    i = valid_idx[pairs[:, 0]]
-    j = valid_idx[pairs[:, 1]]
     lo = np.minimum(i, j)
     hi = np.maximum(i, j)
     cross = (lo // L) != (hi // L)
@@ -242,19 +249,13 @@ def geometric_required_halo(xyz_sorted: "np.ndarray", mask: "np.ndarray",
     exchange.
     """
     import numpy as np
-    from scipy.spatial import cKDTree
 
-    xyz = np.asarray(xyz_sorted, np.float32)
-    m = np.asarray(mask, bool)
-    n = len(xyz)
-    L = n // n_shards
-    valid_idx = np.nonzero(m)[0]
-    tree = cKDTree(xyz[valid_idx])
-    pairs = tree.query_pairs(receptive_field, output_type="ndarray")
-    if len(pairs) == 0:
+    xyz, m, pi, pj = _neighbor_pairs(xyz_sorted, mask, receptive_field)
+    L = len(xyz) // n_shards
+    if len(pi) == 0:
         return 1, 0
-    i = valid_idx[pairs[:, 0]] // L
-    j = valid_idx[pairs[:, 1]] // L
+    i = pi // L
+    j = pj // L
     cross = i != j
     unreachable = int((np.abs(i - j)[cross] > 1).sum())
 
@@ -282,7 +283,7 @@ def geometric_required_halo(xyz_sorted: "np.ndarray", mask: "np.ndarray",
         pri = np.where(m[rows], dist, np.float32(3.4e38))
         if cell_size > 0.0:
             cc_i = np.clip(cc - cc[m[rows]].min(0), 0, 1023).astype(np.int64)
-            ckey = _np_morton3(cc_i)
+            ckey = morton.np_morton_code(cc_i)
             order = np.lexsort((ckey, pri))
         else:
             order = np.argsort(pri, kind="stable")
@@ -290,8 +291,6 @@ def geometric_required_halo(xyz_sorted: "np.ndarray", mask: "np.ndarray",
         rank[order] = np.arange(L)
         return int(rank[needed_idx - s * L].max()) + 1
 
-    pi = valid_idx[pairs[:, 0]]
-    pj = valid_idx[pairs[:, 1]]
     need = 1
     for (a, b) in {(int(s), int(r)) for s, r in
                    zip(np.minimum(i, j), np.maximum(i, j)) if r == s + 1}:
@@ -300,22 +299,6 @@ def geometric_required_halo(xyz_sorted: "np.ndarray", mask: "np.ndarray",
         hi = np.unique(np.maximum(pi[sel], pj[sel]))   # senders in shard b
         need = max(need, rank_of_needed(a, b, lo), rank_of_needed(b, a, hi))
     return need, unreachable
-
-
-def _np_morton3(c):
-    """numpy Morton pack of [N, 3] int coords < 1024 (host-side mirror of
-    ops.morton.morton_code for the halo-sizing rule)."""
-    import numpy as np
-
-    def spread(x):
-        x = x.astype(np.int64) & 0x3FF
-        x = (x | (x << 16)) & 0x030000FF
-        x = (x | (x << 8)) & 0x0300F00F
-        x = (x | (x << 4)) & 0x030C30C3
-        x = (x | (x << 2)) & 0x09249249
-        return x
-
-    return spread(c[:, 0]) | (spread(c[:, 1]) << 1) | (spread(c[:, 2]) << 2)
 
 
 def scene_apply(apply_fn: Callable, params, xyz: jnp.ndarray,
@@ -367,8 +350,18 @@ def scene_apply(apply_fn: Callable, params, xyz: jnp.ndarray,
         import numpy as np
 
         if halo_mode == "geom":
+            # mirror the EXACT on-device selection (same cell grouping)
             need, unreachable = geometric_required_halo(
-                np.asarray(xyz_s), np.asarray(mask_s), d, receptive_field)
+                np.asarray(xyz_s), np.asarray(mask_s), d, receptive_field,
+                cell_size=halo_cell)
+            if unreachable:
+                from ..utils.logging import get_logger
+                get_logger("scene_shard").warning(
+                    "%d neighbor pairs span NON-adjacent shards and cannot "
+                    "be served by the one-hop ring exchange (any halo) — "
+                    "their receptive cones are cropped; shard over fewer "
+                    "devices or accept block-decomposition fidelity there",
+                    unreachable)
         else:
             need = required_halo(np.asarray(xyz_s), np.asarray(mask_s), d,
                                  receptive_field,
@@ -394,6 +387,14 @@ def scene_apply(apply_fn: Callable, params, xyz: jnp.ndarray,
         # changes, masking the true truncation error; scripts/halo_study.py)
         center = jnp.sum(jnp.where(m[:, None], x, 0.0), axis=0) \
             / jnp.maximum(jnp.sum(m.astype(x.dtype)), 1.0)
+        if halo_cell > 0.0:
+            # quantize the frame shift to the halo_cell lattice (still
+            # core-derived, still halo-invariant): the model's voxel walls
+            # then sit on absolute cell_size multiples in SCENE frame,
+            # matching the sender's cell binning — an un-quantized center
+            # would offset every wall by (center mod halo_cell) and shipped
+            # "whole cells" would straddle two model voxels
+            center = halo_cell * jnp.floor(center / halo_cell)
         if halo_mode == "geom":
             x, f, m = geometric_halo_exchange(x, f, m, halo, axis_name,
                                               cell_size=halo_cell)

@@ -118,7 +118,8 @@ def main():
     need_p999 = required_halo(np.asarray(xyz_s), np.asarray(mask_s), d, rf,
                               99.9)
     geom_need, unreachable = geometric_required_halo(
-        np.asarray(xyz_s), np.asarray(mask_s), d, rf)
+        np.asarray(xyz_s), np.asarray(mask_s), d, rf,
+        cell_size=cfg.data.voxel_sizes[-1])   # same selection as the geom arm
     log.info("receptive field %.2f m -> required halo: index exact=%d "
              "p99.9=%d | geom=%d (unreachable pairs=%d) (L=%d)",
              rf, need_exact, need_p999, geom_need, unreachable, L)

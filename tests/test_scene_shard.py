@@ -238,16 +238,16 @@ def test_geom_halo_receptive_cone_completeness():
     # the structural win: the geometric buffer is far smaller
     assert geom_need <= index_need / 2, (geom_need, index_need)
 
-    halo = min(geom_need, L)
     fs = jnp.zeros((n, 1), jnp.float32)
 
-    def collect(mode):
+    def collect(mode, halo, cell_size=0.0):
         @partial(shard_map, mesh=mesh,
                  in_specs=(P("data"), P("data"), P("data")),
                  out_specs=(P("data"), P("data")))
         def run(x, f, m):
             if mode == "geom":
-                xe, _, me = geometric_halo_exchange(x, f, m, halo, "data")
+                xe, _, me = geometric_halo_exchange(x, f, m, halo, "data",
+                                                    cell_size=cell_size)
             else:
                 xe = halo_exchange(x, halo, "data")
                 me = halo_validity(halo_exchange(m, halo, "data"), halo,
@@ -274,7 +274,87 @@ def test_geom_halo_receptive_cone_completeness():
                         miss += 1
         return miss
 
-    assert missing_neighbors(*collect("geom")) == 0
+    halo = min(geom_need, L)
+    assert missing_neighbors(*collect("geom", halo)) == 0
     # the index exchange at the SAME buffer size must be incomplete —
     # otherwise the geometric machinery would be pointless here
-    assert missing_neighbors(*collect("index")) > 0
+    assert missing_neighbors(*collect("index", halo)) > 0
+
+    # cell-shipping path: sizing mirrors the cell-grouped selection, the
+    # exchange stays receptive-cone complete, and received cells arrive
+    # INTACT (at most the budget-frontier cell per side may be partial)
+    cs = 0.45
+    cell_need, _ = geometric_required_halo(xs_np, ms_np, d, rf,
+                                           cell_size=cs)
+    halo_c = min(cell_need, L)
+    xe, me = collect("geom", halo_c, cell_size=cs)
+    assert missing_neighbors(xe, me) == 0
+
+    def cells_of(points):
+        return [tuple(c) for c in np.floor(points / cs).astype(int)]
+
+    for i in range(d):
+        for side, sender in ((slice(0, halo_c), i - 1),
+                             (slice(L + halo_c, L + 2 * halo_c), i + 1)):
+            if not 0 <= sender < d:
+                continue
+            got_pts = xe[i, side][me[i, side]]
+            srows = slice(sender * L, (sender + 1) * L)
+            sender_pts = xs_np[srows][ms_np[srows]]
+            sender_cells = cells_of(sender_pts)
+            from collections import Counter
+            have = Counter(cells_of(got_pts))
+            total = Counter(sender_cells)
+            partial = [c for c, k in have.items() if k < total[c]]
+            assert len(partial) <= 1, (i, sender, partial)
+
+
+def test_scene_apply_geom_end_to_end():
+    """The DEFAULT scene_apply path (halo_mode=geom + cell shipping +
+    receptive-field check): the check must mirror the cell-grouped
+    selection (same cell_size), pass at its own requirement, fail loudly
+    below it, and the full model must produce finite core logits."""
+    import pytest as _pytest
+
+    from pointcloudsegmentation_tpu.parallel.scene_shard import \
+        geometric_required_halo
+    from pointcloudsegmentation_tpu.train import build_model, s3dis_config
+
+    mesh = make_mesh()
+    d = mesh.size
+    rng = np.random.RandomState(5)
+    n = 2048
+    xyz, feats, mask = _scene(rng, n=n)
+    L = n // d
+    rf, cs = 0.2, 0.45
+
+    xs, ms, _ = morton.sort_block(xyz, mask, 0.2, 64.0)
+    need, _ = geometric_required_halo(np.asarray(xs), np.asarray(ms), d,
+                                      rf, cell_size=cs)
+    assert 1 < need <= L, need
+
+    # below the cell-aware requirement: raises before tracing apply_fn
+    def boom(*a):
+        raise AssertionError("apply_fn must not run")
+
+    with _pytest.raises(ValueError, match="data-driven requirement"):
+        scene_apply(boom, None, xyz, feats, mask, mesh, halo=need - 1,
+                    sort_cell=0.2, scene_extent=64.0, receptive_field=rf,
+                    halo_cell=cs)
+
+    halo = need
+    ext = L + 2 * halo
+    cfg = s3dis_config(model="tiny_s3dis", data_num_points=ext,
+                       data_caps=(ext, ext // 4))
+    model = build_model(cfg, search_chunk=128)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((ext, 3)),
+                        jnp.zeros((ext, 12)), jnp.ones((ext,), bool), False)
+
+    def apply_fn(p, x, f, m):
+        return model.apply(p, x, f, m, False)
+
+    logits = scene_apply(apply_fn, params, xyz, feats, mask, mesh,
+                         halo=halo, sort_cell=0.2, scene_extent=64.0,
+                         receptive_field=rf, halo_cell=cs)
+    assert logits.shape == (n, cfg.data.num_classes)
+    assert np.isfinite(np.asarray(logits)[np.asarray(mask)]).all()
