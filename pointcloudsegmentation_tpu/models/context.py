@@ -7,6 +7,16 @@ pyramid, and each block point gathers the features of its nearest context
 point (tracked indices), concatenated onto the main branch's global feats
 before the classifier (model_pooling.py:393-427 graph_conv_pool_context*,
 semantic3d_context_util.py:322-333, train_gpn_semantic3d_context.py:50-71).
+
+Level-0-only fusion is NOT a simplification: the reference's
+"context threading" (graph_pooling_layer.py:149-189
+context_points_pooling_two_layers) only PERMUTES ctx_idxs alongside the
+level-0 points through its physical voxel re-sorts — the indices stay
+per-level-0-point and fuse once, at level 0.  Here the segment-id pyramid
+never physically permutes, so the only alignment duty is the in-model
+Morton sort, which carries ctx_idx; tests/test_components.py::
+test_context_fusion_model asserts per-point logits are invariant to that
+permutation (the property the repermutation machinery guarantees).
 """
 from __future__ import annotations
 

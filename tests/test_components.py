@@ -72,6 +72,23 @@ def test_context_fusion_model(rng):
     assert logits.shape == (n, 8)
     assert np.isfinite(np.asarray(logits)[np.asarray(mask)]).all()
 
+    # Context-threading semantics (reference graph_pooling_layer.py:149-189:
+    # ctx_idxs are permuted alongside level-0 points through the physical
+    # voxel re-sorts and stay per-level-0-point — fusion is level-0-only
+    # there too).  Here the only permutation is the in-model Morton sort,
+    # which carries ctx_idx; per-point logits must therefore be invariant
+    # to it — the same alignment property the reference's repermutation
+    # machinery guarantees.
+    model_nosort = ContextFusionModel(
+        encoder=model.encoder, num_classes=8, voxel_sizes=(0.25,),
+        caps=(128,), block_size=3.0, ctx_block_size=50.0, ctx_cap=32,
+        morton_sort=False)
+    logits_ns = model_nosort.apply(p, jnp.asarray(xyz), feats,
+                                   jnp.asarray(mask), ctx_xyz, ctx_feats,
+                                   jnp.ones(nc, bool), ctx_idx, False)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ns),
+                               rtol=2e-4, atol=2e-4)
+
 
 def test_template_and_refine_models(rng):
     n = 256
