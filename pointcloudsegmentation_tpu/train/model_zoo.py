@@ -226,10 +226,13 @@ def build_model(cfg: TrainConfig, search_chunk: int = 1024) -> nn.Module:
                 "(256) or a divisor of it — window % tile == 0 is required "
                 "by the windowed conv backward's dense overlap-add")
     # tile-shared overflow pool size (0 = per-point global slot gathers).
-    # 384 measured 355k vs 273k points/s/chip (bench, r3); P=256/512
-    # intermittently compiled pathologically slowly on the remote TPU and
-    # are not defaults
-    _ovp = int(os.environ.get("PCS_OV_POOL", 384))
+    # 384 measured 355k vs 273k points/s/chip (bench, r3).  After the
+    # lattice-frame fix, P=256 benches 422-426k vs 406-408k at P=384
+    # (3 clean runs, tight chains) and passes the 0.94 recall contract on
+    # every band at slab/ck=32 (min 0.9513, verify_search_recall
+    # slab:32:256), so it is the default; pre-fix P=256/512 compile
+    # pathologies did not recur post-fix.
+    _ovp = int(os.environ.get("PCS_OV_POOL", 256))
     if _ovp < 0:
         raise ValueError(f"PCS_OV_POOL={_ovp}: must be >= 0")
     _enc_kw["ov_pool_size"] = _ovp

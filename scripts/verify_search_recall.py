@@ -94,19 +94,32 @@ def windowed_band_recall(n=8192, cand_k=64, seed=0, sel_mode="global",
 def main(argv=None):
     """Default: the global-search contract + the production windowed
     config.  --grid additionally sweeps sel_mode x cand_k at the
-    production tile-pool size (A/B data for choosing defaults)."""
+    production tile-pool size (A/B data for choosing defaults).
+    Targeted configs: pass ``sel_mode:cand_k:pool`` triples (e.g.
+    ``slab:32:256``) to validate a candidate default without the full
+    grid; these skip the global-contract rows."""
     argv = sys.argv[1:] if argv is None else argv
     grid = "--grid" in argv
+    targeted = [a for a in argv if ":" in a]
     ok = True
-    for seed in (0, 1):
-        for band, r in band_recall(seed=seed):
-            status = "OK" if r >= 0.99 else "FAIL"
-            ok &= r >= 0.99
-            print(f"global seed={seed} band={band}: recall={r:.4f} {status}")
-    configs = [("global", 64, 384)]
+    if not targeted:
+        for seed in (0, 1):
+            for band, r in band_recall(seed=seed):
+                status = "OK" if r >= 0.99 else "FAIL"
+                ok &= r >= 0.99
+                print(f"global seed={seed} band={band}: recall={r:.4f} "
+                      f"{status}")
+    configs = [("slab", 32, 256)]  # the production default (model_zoo)
     if grid:
         configs = [(m, ck, 384) for m in ("global", "slab")
                    for ck in (64, 48, 32)]
+    if targeted:
+        configs = []
+        for t in targeted:
+            m, ck, pool = t.split(":")
+            if m not in ("global", "slab"):
+                raise SystemExit(f"bad sel_mode in {t!r}")
+            configs.append((m, int(ck), int(pool)))
     for sel_mode, ck, pool in configs:
         for seed in (0, 1):
             for band, r in windowed_band_recall(seed=seed, cand_k=ck,
