@@ -5,8 +5,11 @@ the timing methodology — chained steps, one readback, median of 3 chains).
 Usage:  python scripts/ab_arms.py '[{"label": "base"},
                                     {"label": "remat", "env": {"PCS_REMAT": "1"}},
                                     {"label": "b8", "batch": 8}]'
-Each arm: {label, env?: {K: V}, batch?: int, points?: int, chunk?: int}.
-Prints one JSON line per arm.
+Each arm: {label, env?: {K: V}, batch?: int, points?: int, chunk?: int,
+model?: str (registry key), config?: "s3dis"|"scannet"|"semantic3d"}.
+Omitting points uses the config preset's num_points (e.g. semantic3d's
+10240); model defaults to the preset's flagship.  Prints one JSON line
+per arm.
 """
 import json
 import os
@@ -23,24 +26,32 @@ _cache.enable()
 
 def run_arm(arm):
     from pointcloudsegmentation_tpu.data import toy
-    from pointcloudsegmentation_tpu.train import Trainer, s3dis_config
+    from pointcloudsegmentation_tpu.train import (Trainer, s3dis_config,
+                                                  scannet_config,
+                                                  semantic3d_config)
 
+    presets = {"s3dis": s3dis_config, "scannet": scannet_config,
+               "semantic3d": semantic3d_config}
     env = arm.get("env", {})
     batch = int(arm.get("batch", 4))
-    num_points = int(arm.get("points", 8192))
     chunk = int(arm.get("chunk", 2048))
     iters = int(arm.get("iters", 20))
 
     saved = {k: os.environ.get(k) for k in env}
     os.environ.update({k: str(v) for k, v in env.items()})
     try:
-        cfg = s3dis_config(data_num_points=num_points,
-                           data_caps=(4096, 1024), data_feat_dim=12)
+        overrides = {}
+        if "points" in arm:
+            overrides["data_num_points"] = int(arm["points"])
+        if "model" in arm:
+            overrides["model"] = arm["model"]
+        cfg = presets[arm.get("config", "s3dis")](**overrides)
+        num_points = cfg.data.num_points
         trainer = Trainer(cfg, search_chunk=chunk)
         rng = jax.random.PRNGKey(0)
-        batches = list(toy.toy_batches(2, batch_size=batch,
-                                       num_points=num_points, kind="room",
-                                       num_classes=13, feat_dim=12))
+        batches = list(toy.toy_batches(
+            2, batch_size=batch, num_points=num_points, kind="room",
+            num_classes=cfg.data.num_classes, feat_dim=cfg.data.feat_dim))
         state = trainer.init_state(rng, batches[0])
         batches = jax.device_put(batches)
         for i in range(3):
@@ -58,6 +69,7 @@ def run_arm(arm):
         dt = chains[len(chains) // 2]
         return {"label": arm["label"], "points_per_sec": round(valid / dt, 1),
                 "step_ms": round(dt * 1e3, 2), "batch": batch,
+                "model": cfg.model, "points": num_points,
                 "chains_ms": [round(c * 1e3, 2) for c in chains]}
     finally:
         for k, v in saved.items():

@@ -60,7 +60,8 @@ def run_arm(arm, train_blocks, test_blocks, args, log):
     else:
         os.environ.pop("PCS_DISABLE_WINDOWED", None)
 
-    cfg = s3dis_config(data_num_points=args.num_points,
+    cfg = s3dis_config(model=args.model,
+                       data_num_points=args.num_points,
                        optim_epoch_steps=max(1, len(train_blocks)
                                              // args.batch))
     trainer = Trainer(cfg, search_chunk=min(2048, args.num_points))
@@ -101,6 +102,9 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--num-points", type=int, default=8192)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--model", type=str, default="pointnet_s3dis",
+                   help="registry key (e.g. ecd_s3dis to A/B the "
+                        "edge-conv family through the same harness)")
     p.add_argument("--arms", nargs="*", default=["windowed", "exact"])
     p.add_argument("--out", type=str, default="results/parity_ab.json")
     args = p.parse_args()
