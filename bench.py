@@ -72,12 +72,26 @@ def main():
     # selection-heavy, so single-digit MFU is expected — the metric tracks
     # how much of the step XLA spends on real matmul work).
     PEAK_FLOPS = 197e12
+    # the production step accumulates per-block grads inside a lax.scan and
+    # XLA's cost analysis counts a scan body ONCE — lower the vmapped step
+    # (identical per-block math, flat program) purely for FLOP counting
+    flops = 0.0
     try:
-        cost = trainer._train_step.lower(
-            state, batches[0], rng).compile().cost_analysis()
-        flops = float(cost.get("flops", 0.0))
+        os.environ["PCS_BATCH_VMAP"] = "1"
+        try:
+            t2 = Trainer(cfg, search_chunk=CHUNK)
+            cost = t2._train_step.lower(
+                state, batches[0], rng).compile().cost_analysis()
+            flops = float(cost.get("flops", 0.0))
+        finally:
+            os.environ.pop("PCS_BATCH_VMAP", None)
     except Exception:
-        flops = 0.0
+        try:
+            cost = trainer._train_step.lower(
+                state, batches[0], rng).compile().cost_analysis()
+            flops = float(cost.get("flops", 0.0))
+        except Exception:
+            flops = 0.0
     mfu = flops / dt / PEAK_FLOPS if flops else 0.0
 
     print(json.dumps({

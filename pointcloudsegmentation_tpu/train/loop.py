@@ -50,18 +50,16 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.adam(make_lr_schedule(cfg))
 
 
-def seg_loss(logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
-             class_weights: Optional[jnp.ndarray],
-             ignore_label: Optional[int]) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                                   jnp.ndarray]:
-    """Weighted sparse softmax CE over valid (+ non-ignored) points.
+def seg_loss_terms(logits: jnp.ndarray, labels: jnp.ndarray,
+                   mask: jnp.ndarray,
+                   class_weights: Optional[jnp.ndarray],
+                   ignore_label: Optional[int]):
+    """Unnormalized weighted-CE terms: (sum(w·ce), sum(w), labels, valid).
 
-    Matches tf.losses.sparse_softmax_cross_entropy with per-point weights
-    (sum(w·ce)/sum(w), train_graph_pool_new.py:66-68) and ScanNet's
-    ignore-label-0 masking with labels shifted by -1
-    (train_gpn_scannet_new.py:81-88).
-
-    Returns (loss, effective labels, effective mask).
+    The weights w depend only on labels/mask — never on params — so
+    per-block sums are linear in the block: the batch loss
+    ``Σ_b S_b / Σ_b W_b`` and its gradient ``Σ_b ∇S_b / Σ_b W_b`` can be
+    accumulated block-by-block (the train step's scan path).
     """
     logits = logits.astype(jnp.float32)  # loss always in f32
     valid = mask
@@ -79,8 +77,25 @@ def seg_loss(logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
     w = jnp.ones_like(ce) if class_weights is None \
         else jnp.take(class_weights, labels)
     w = w * valid.astype(ce.dtype)
-    loss = jnp.sum(w * ce) / jnp.maximum(jnp.sum(w), 1e-6)
-    return loss, labels, valid
+    return jnp.sum(w * ce), jnp.sum(w), labels, valid
+
+
+def seg_loss(logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
+             class_weights: Optional[jnp.ndarray],
+             ignore_label: Optional[int]) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                   jnp.ndarray]:
+    """Weighted sparse softmax CE over valid (+ non-ignored) points.
+
+    Matches tf.losses.sparse_softmax_cross_entropy with per-point weights
+    (sum(w·ce)/sum(w), train_graph_pool_new.py:66-68) and ScanNet's
+    ignore-label-0 masking with labels shifted by -1
+    (train_gpn_scannet_new.py:81-88).
+
+    Returns (loss, effective labels, effective mask).
+    """
+    s, w, labels, valid = seg_loss_terms(logits, labels, mask,
+                                         class_weights, ignore_label)
+    return s / jnp.maximum(w, 1e-6), labels, valid
 
 
 @dataclass
@@ -136,6 +151,29 @@ class Trainer:
         return state
 
     # -- steps -----------------------------------------------------------
+    def _map_blocks(self, fn, *args):
+        """Apply ``fn`` across the batch axis.
+
+        Single-chip default: in-graph sequential ``lax.map`` (scan).
+        Measured on TPU v5e (BASELINE.md round 3): the vmapped step
+        executes ~33% slower per block than the single-block program
+        (10.3 vs 7.75 ms fwd — batching the windowed gathers/selection
+        quadruples live buffer sizes and splits XLA's fusions), and
+        degrades superlinearly at batch 8.  Sequential blocks keep the
+        single-block program's efficiency; gradients flow through scan
+        like any other op.  ``PCS_BATCH_VMAP=1`` restores vmap for A/B.
+
+        The mesh (data-parallel) path keeps vmap: there the batch axis is
+        device-SHARDED, and a scan over a sharded axis would serialize
+        the devices instead of running them in parallel.
+        """
+        import os
+
+        if self.mesh is not None or \
+                os.environ.get("PCS_BATCH_VMAP", "") == "1":
+            return jax.vmap(fn)(*args)
+        return jax.lax.map(lambda t: fn(*t), tuple(args))
+
     def _batched_logits(self, params, batch, rngs, train: bool):
         if "ctx_xyz" in batch:
             # context-fusion models take the 50 m context cloud + per-point
@@ -144,8 +182,8 @@ class Trainer:
                 return self.model.apply(params, xyz, feats, mask, cx, cf,
                                         cm, ci, train,
                                         rngs={"dropout": rng})
-            return jax.vmap(one_ctx)(
-                batch["xyz"], batch["feats"], batch["mask"],
+            return self._map_blocks(
+                one_ctx, batch["xyz"], batch["feats"], batch["mask"],
                 batch["ctx_xyz"], batch["ctx_feats"], batch["ctx_mask"],
                 batch["ctx_idx"], rngs)
 
@@ -155,22 +193,120 @@ class Trainer:
             def one_dense(xyz, feats, mask, dx, df, dm, rng):
                 return self.model.apply(params, xyz, feats, mask, dx, df,
                                         dm, train, rngs={"dropout": rng})
-            return jax.vmap(one_dense)(
-                batch["xyz"], batch["feats"], batch["mask"],
+            return self._map_blocks(
+                one_dense, batch["xyz"], batch["feats"], batch["mask"],
                 batch["dense_xyz"], batch["dense_feats"],
                 batch["dense_mask"], rngs)
 
         def one(xyz, feats, mask, rng):
             return self.model.apply(params, xyz, feats, mask, train,
                                     rngs={"dropout": rng})
-        return jax.vmap(one)(batch["xyz"], batch["feats"], batch["mask"],
-                             rngs)
+        return self._map_blocks(one, batch["xyz"], batch["feats"],
+                                batch["mask"], rngs)
+
+    def _apply_update(self, state: TrainState, grads, loss):
+        """Adam update + the non-finite step guard (the reference has no
+        failure handling, SURVEY §5): a bad batch must not poison the
+        parameters — keep the previous state and count the skipped step."""
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        good = jnp.isfinite(loss) & jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(g)) for g in
+             jax.tree_util.tree_leaves(grads)]))
+        params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(good, new, old),
+            params, state.params)
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(good, new, old)
+            if hasattr(new, "shape") else new,
+            opt_state, state.opt_state)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), good
+
+    def _use_accum(self, state: TrainState, batch: Dict, rngs) -> bool:
+        """Whether the gradient-accumulation scan path applies: plain
+        per-point segmentation (per-block logits [N, C]), single chip,
+        no auxiliary context/dense inputs.  Trace-time only."""
+        import os
+
+        if self.mesh is not None or "ctx_xyz" in batch \
+                or "dense_xyz" in batch \
+                or os.environ.get("PCS_BATCH_VMAP", "") == "1" \
+                or os.environ.get("PCS_NO_ACCUM", "") == "1":
+            return False
+        try:
+            sh = jax.eval_shape(
+                lambda p: self.model.apply(
+                    p, batch["xyz"][0], batch["feats"][0],
+                    batch["mask"][0], True, rngs={"dropout": rngs[0]}),
+                state.params)
+        except Exception:
+            return False
+        return sh.ndim == 2
+
+    def _accum_train_step(self, state: TrainState, batch: Dict, rngs):
+        """Per-block value_and_grad inside a lax.scan, grads accumulated.
+
+        Measured on TPU v5e (BASELINE.md round 3): the batched (vmapped)
+        step runs ~33% slower per block than the single-block program,
+        and grad-of-scan over blocks spills every block's residuals to
+        HBM before the first backward runs.  Running each block's
+        fwd+bwd back-to-back inside the scan keeps residual lifetimes
+        short and the single-block program's efficiency; the gradient is
+        EXACT (seg_loss_terms: per-point weights are params-independent,
+        so ∇(ΣS_b/ΣW_b) = Σ∇S_b / ΣW_b)."""
+        d = self.cfg.data
+        C = d.num_classes
+
+        def block_terms(params, xyz, feats, mask, labels, r):
+            logits = self.model.apply(params, xyz, feats, mask, True,
+                                      rngs={"dropout": r})
+            s, w, labels_eff, valid = seg_loss_terms(
+                logits, labels, mask, self.class_weights, d.ignore_label)
+            preds = jnp.argmax(logits, axis=-1)
+            cm = metrics_lib.confusion_matrix(labels_eff, preds, C,
+                                              mask=valid)
+            correct = jnp.sum((preds == labels_eff) & valid)
+            return s, (w, cm, correct, jnp.sum(valid))
+
+        gfn = jax.value_and_grad(block_terms, has_aux=True)
+        carry0 = (jax.tree_util.tree_map(jnp.zeros_like, state.params),
+                  jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+                  jnp.zeros((C, C), jnp.float32),
+                  jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+
+        def body(carry, xs):
+            gacc, sacc, wacc, cmacc, cacc, nacc = carry
+            (s, (w, cm, correct, cnt)), g = gfn(state.params, *xs)
+            gacc = jax.tree_util.tree_map(jnp.add, gacc, g)
+            return (gacc, sacc + s, wacc + w, cmacc + cm,
+                    cacc + correct, nacc + cnt), None
+
+        (gacc, s, w, cm, correct, count), _ = jax.lax.scan(
+            body, carry0,
+            (batch["xyz"], batch["feats"], batch["mask"],
+             batch["labels"], rngs))
+        denom = jnp.maximum(w, 1e-6)
+        loss = s / denom
+        grads = jax.tree_util.tree_map(lambda g: g / denom, gacc)
+        state, good = self._apply_update(state, grads, loss)
+        metrics = {
+            "loss": loss,
+            "correct": correct,
+            "count": count,
+            "cm": cm,
+            "skipped": (~good).astype(jnp.int32),
+        }
+        return state, metrics
 
     def _step(self, state: TrainState, batch: Dict, rng: jax.Array,
               train: bool = True):
         d = self.cfg.data
         bsz = batch["xyz"].shape[0]
         rngs = jax.random.split(jax.random.fold_in(rng, state.step), bsz)
+        if train and self._use_accum(state, batch, rngs):
+            return self._accum_train_step(state, batch, rngs)
 
         def loss_fn(params):
             logits = self._batched_logits(params, batch, rngs, train)
@@ -201,24 +337,7 @@ class Trainer:
         if train:
             (loss, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
-            updates, opt_state = self.tx.update(grads, state.opt_state,
-                                                state.params)
-            params = optax.apply_updates(state.params, updates)
-            # non-finite guard (the reference has no failure handling,
-            # SURVEY §5): a bad batch must not poison the parameters —
-            # keep the previous state and count the skipped step
-            good = jnp.isfinite(loss) & jnp.all(jnp.asarray(
-                [jnp.all(jnp.isfinite(g)) for g in
-                 jax.tree_util.tree_leaves(grads)]))
-            params = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(good, new, old),
-                params, state.params)
-            opt_state = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(good, new, old)
-                if hasattr(new, "shape") else new,
-                opt_state, state.opt_state)
-            state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state)
+            state, good = self._apply_update(state, grads, loss)
         else:
             loss, aux = loss_fn(state.params)
             good = jnp.asarray(True)
