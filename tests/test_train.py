@@ -62,6 +62,50 @@ def test_loss_decreases_on_toy_data():
     assert losses[-1] < losses[0] * 0.9, losses
 
 
+def test_accum_step_matches_full_batch():
+    """The per-block gradient-accumulation path (the single-chip default,
+    loop._accum_train_step) is EXACTLY the batch loss: the CE weights are
+    params-independent, so grad(sum S_b / sum W_b) = sum grad S_b / sum W_b.
+    Loss/cm/counts must match the full-batch path; params stay close after
+    one Adam step (Adam normalizes by |grad|, so near-zero-gradient
+    elements amplify reduction-order noise — compare the update direction
+    on the meaningful scale, not elementwise ratios)."""
+    import os
+
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg(compute_dtype="float32")
+    rng = jax.random.PRNGKey(0)
+    batch = next(toy.toy_batches(1, batch_size=2, num_points=512,
+                                 kind="room", num_classes=13, feat_dim=12))
+
+    tr_a = Trainer(cfg, search_chunk=256)
+    sa = tr_a.init_state(rng, batch)
+    assert tr_a._use_accum(sa, batch, jax.random.split(rng, 2))
+    sa2, ma = tr_a.train_step(sa, batch, rng)
+
+    os.environ["PCS_NO_ACCUM"] = "1"
+    try:
+        tr_b = Trainer(cfg, search_chunk=256)
+        sb = tr_b.init_state(rng, batch)
+        assert not tr_b._use_accum(sb, batch, jax.random.split(rng, 2))
+        sb2, mb = tr_b.train_step(sb, batch, rng)
+    finally:
+        os.environ.pop("PCS_NO_ACCUM", None)
+
+    assert float(ma["loss"]) == pytest.approx(float(mb["loss"]), rel=1e-4)
+    assert np.array_equal(np.asarray(ma["cm"]), np.asarray(mb["cm"]))
+    assert int(ma["correct"]) == int(mb["correct"])
+    assert int(ma["count"]) == int(mb["count"])
+    # one Adam step moves every param by ~lr; the two paths' updates must
+    # agree except where the gradient itself is reduction-order noise
+    lr = cfg.optim.lr_init
+    for x, y in zip(jax.tree_util.tree_leaves(sa2.params),
+                    jax.tree_util.tree_leaves(sb2.params)):
+        d = float(jnp.max(jnp.abs(x - y)))
+        assert d <= 2.1 * lr, d   # opposite-sign updates cap at 2*lr
+
+
 def test_eval_metrics_shape():
     cfg = tiny_cfg()
     trainer = Trainer(cfg, search_chunk=256)
