@@ -283,10 +283,18 @@ class Trainer:
             return (gacc, sacc + s, wacc + w, cmacc + cm,
                     cacc + correct, nacc + cnt), None
 
+        import os
+
+        # unroll would let XLA software-pipeline blocks (overlap one
+        # block's VPU-heavy selection with another's MXU-heavy convs);
+        # measured NEUTRAL at batch 4 on v5e (544.7/544.9/544.9k at
+        # unroll 1/2/4 — the chip saturates within a block), kept as a
+        # knob for other chips/batch shapes
+        unroll = int(os.environ.get("PCS_ACCUM_UNROLL", "1"))
         (gacc, s, w, cm, correct, count), _ = jax.lax.scan(
             body, carry0,
             (batch["xyz"], batch["feats"], batch["mask"],
-             batch["labels"], rngs))
+             batch["labels"], rngs), unroll=max(1, unroll))
         denom = jnp.maximum(w, 1e-6)
         loss = s / denom
         grads = jax.tree_util.tree_map(lambda g: g / denom, gacc)
