@@ -74,8 +74,12 @@ def main():
     PEAK_FLOPS = 197e12
     # the production step accumulates per-block grads inside a lax.scan and
     # XLA's cost analysis counts a scan body ONCE — lower the vmapped step
-    # (identical per-block math, flat program) purely for FLOP counting
+    # (identical per-block math, flat program) purely for FLOP counting.
+    # NOTE: flops_per_step therefore describes the vmapped lowering, not
+    # the timed scan program (same math, different schedule).
+    import sys
     flops = 0.0
+    prev_vmap = os.environ.get("PCS_BATCH_VMAP")
     try:
         os.environ["PCS_BATCH_VMAP"] = "1"
         try:
@@ -84,13 +88,22 @@ def main():
                 state, batches[0], rng).compile().cost_analysis()
             flops = float(cost.get("flops", 0.0))
         finally:
-            os.environ.pop("PCS_BATCH_VMAP", None)
-    except Exception:
+            if prev_vmap is None:
+                os.environ.pop("PCS_BATCH_VMAP", None)
+            else:
+                os.environ["PCS_BATCH_VMAP"] = prev_vmap
+    except Exception as e:
+        print(f"WARNING: vmapped cost analysis failed ({e!r}); "
+              "falling back to the scan lowering (undercounts FLOPs)",
+              file=sys.stderr)
         try:
             cost = trainer._train_step.lower(
                 state, batches[0], rng).compile().cost_analysis()
             flops = float(cost.get("flops", 0.0))
-        except Exception:
+        except Exception as e2:
+            print(f"WARNING: cost analysis unavailable ({e2!r}); "
+                  "reporting mfu=0 — do NOT read this as a perf regression",
+                  file=sys.stderr)
             flops = 0.0
     mfu = flops / dt / PEAK_FLOPS if flops else 0.0
 

@@ -52,6 +52,9 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint-dir", type=str, default=None)
     p.add_argument("--restore", action="store_true")
     p.add_argument("--restore-epoch", type=int, default=None)
+    p.add_argument("--restore-best", action="store_true",
+                   help="restore the highest-mIoU checkpoint instead of "
+                        "the latest epoch")
     p.add_argument("--log-file", type=str, default=None)
     p.add_argument("--metrics-file", type=str, default=None,
                    help="per-epoch metrics JSONL (default: alongside "
@@ -211,7 +214,11 @@ def main(argv=None):
     start_epoch = 0
     if cfg.checkpoint_dir:
         ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.keep_checkpoints)
-        if args.restore:
+        if args.restore_best:
+            state = ckpt.restore_best(state)
+            start_epoch = (ckpt.latest_epoch() or 0) + 1
+            log.info("restored best epoch %d", ckpt.best_epoch())
+        elif args.restore:
             state = ckpt.restore(state, args.restore_epoch)
             start_epoch = (ckpt.latest_epoch() or 0) + 1
             log.info("restored epoch %d", start_epoch - 1)
@@ -244,7 +251,11 @@ def main(argv=None):
                        "acc": te["acc"],
                        "points_per_sec": tr["points_per_sec"]})
         if ckpt is not None:
-            ckpt.save(epoch, state)
+            # async: the host snapshot inside save() makes the background
+            # write safe; only the end-of-training wait() blocks
+            ckpt.save(epoch, state, metrics={"miou": float(te["miou"])})
+    if ckpt is not None:
+        ckpt.wait()
     return state
 
 

@@ -107,10 +107,20 @@ class Trainer:
     search_chunk: int = 1024
 
     def __post_init__(self):
+        import os
+
         from ..models.layers import set_compute_dtype
 
         set_compute_dtype(
             jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else None)
+        # Batch-strategy knobs are captured ONCE here: the jitted step caches
+        # its traced program, so changing these env vars after the first
+        # compiled step would silently have no effect — a/b scripts build a
+        # fresh Trainer per arm (scripts/ab_arms.py) for exactly this reason.
+        self._batch_vmap = os.environ.get("PCS_BATCH_VMAP", "") == "1"
+        self._no_accum = os.environ.get("PCS_NO_ACCUM", "") == "1"
+        self._accum_unroll = max(
+            1, int(os.environ.get("PCS_ACCUM_UNROLL", "1")))
         self.model = build_model(self.cfg, search_chunk=self.search_chunk)
         self.tx = make_optimizer(self.cfg)
         d = self.cfg.data
@@ -167,10 +177,7 @@ class Trainer:
         device-SHARDED, and a scan over a sharded axis would serialize
         the devices instead of running them in parallel.
         """
-        import os
-
-        if self.mesh is not None or \
-                os.environ.get("PCS_BATCH_VMAP", "") == "1":
+        if self.mesh is not None or self._batch_vmap:
             return jax.vmap(fn)(*args)
         return jax.lax.map(lambda t: fn(*t), tuple(args))
 
@@ -227,13 +234,11 @@ class Trainer:
     def _use_accum(self, state: TrainState, batch: Dict, rngs) -> bool:
         """Whether the gradient-accumulation scan path applies: plain
         per-point segmentation (per-block logits [N, C]), single chip,
-        no auxiliary context/dense inputs.  Trace-time only."""
-        import os
-
+        no auxiliary context/dense inputs.  Trace-time only (the knobs are
+        instance fields captured in __post_init__)."""
         if self.mesh is not None or "ctx_xyz" in batch \
                 or "dense_xyz" in batch \
-                or os.environ.get("PCS_BATCH_VMAP", "") == "1" \
-                or os.environ.get("PCS_NO_ACCUM", "") == "1":
+                or self._batch_vmap or self._no_accum:
             return False
         try:
             sh = jax.eval_shape(
@@ -283,18 +288,15 @@ class Trainer:
             return (gacc, sacc + s, wacc + w, cmacc + cm,
                     cacc + correct, nacc + cnt), None
 
-        import os
-
         # unroll would let XLA software-pipeline blocks (overlap one
         # block's VPU-heavy selection with another's MXU-heavy convs);
         # measured NEUTRAL at batch 4 on v5e (544.7/544.9/544.9k at
         # unroll 1/2/4 — the chip saturates within a block), kept as a
         # knob for other chips/batch shapes
-        unroll = int(os.environ.get("PCS_ACCUM_UNROLL", "1"))
         (gacc, s, w, cm, correct, count), _ = jax.lax.scan(
             body, carry0,
             (batch["xyz"], batch["feats"], batch["mask"],
-             batch["labels"], rngs), unroll=max(1, unroll))
+             batch["labels"], rngs), unroll=self._accum_unroll)
         denom = jnp.maximum(w, 1e-6)
         loss = s / denom
         grads = jax.tree_util.tree_map(lambda g: g / denom, gacc)

@@ -10,6 +10,14 @@ model?: str (registry key), config?: "s3dis"|"scannet"|"semantic3d"}.
 Omitting points uses the config preset's num_points (e.g. semantic3d's
 10240); model defaults to the preset's flagship.  Prints one JSON line
 per arm.
+
+Comparability note: default arms (config "s3dis", no overrides) run the
+SAME workload as every recorded round (num_points=8192, caps=(4096,1024),
+feat_dim=12 — the s3dis preset IS the historical fixed bench shape), so
+default-arm numbers remain comparable to results/tpu_queue_r3/*.jsonl.
+Arms that set config/model/points change the workload; compare those only
+against arms carrying the same fields (each output line records
+model/points/batch for exactly this).
 """
 import json
 import os

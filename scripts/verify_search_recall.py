@@ -114,12 +114,26 @@ def main(argv=None):
         configs = [(m, ck, 384) for m in ("global", "slab")
                    for ck in (64, 48, 32)]
     if targeted:
+        if grid:
+            raise SystemExit("--grid cannot be combined with targeted "
+                             "sel_mode:cand_k:pool configs — pick one")
         configs = []
         for t in targeted:
-            m, ck, pool = t.split(":")
+            parts = t.split(":")
+            if len(parts) != 3:
+                raise SystemExit(
+                    f"bad config {t!r}: expected sel_mode:cand_k:pool "
+                    "(e.g. slab:32:256)")
+            m, ck, pool = parts
             if m not in ("global", "slab"):
                 raise SystemExit(f"bad sel_mode in {t!r}")
-            configs.append((m, int(ck), int(pool)))
+            try:
+                ck, pool = int(ck), int(pool)
+            except ValueError:
+                raise SystemExit(
+                    f"bad config {t!r}: cand_k and pool must be ints")
+            configs.append((m, ck, pool))
+        print("targeted configs skip the global-contract rows")
     for sel_mode, ck, pool in configs:
         for seed in (0, 1):
             for band, r in windowed_band_recall(seed=seed, cand_k=ck,

@@ -65,6 +65,39 @@ def test_restore_empty_dir_raises(tmp_path):
     mgr = CheckpointManager(str(tmp_path))
     with pytest.raises(FileNotFoundError):
         mgr.restore(small_state(0))
+    with pytest.raises(FileNotFoundError):
+        mgr.restore_best(small_state(0))
+
+
+def test_best_miou_retention(tmp_path):
+    """The best-mIoU checkpoint survives even after per-epoch retention
+    retires it (SURVEY §5: per-epoch + best-mIoU retention)."""
+    mgr = CheckpointManager(str(tmp_path), keep=2, best_keep=1)
+    mious = [0.2, 0.9, 0.5, 0.4, 0.3]  # best at epoch 1
+    for e, m in enumerate(mious):
+        mgr.save(e, small_state(e, step=e), metrics={"miou": m})
+    mgr.wait()
+    assert mgr.latest_epoch() == 4
+    assert mgr.best_epoch() == 1
+    fresh = small_state(99)
+    # epoch 1 retired from the per-epoch window (keep=2)...
+    with pytest.raises(Exception):
+        mgr.restore(fresh, epoch=1)
+    # ...but recoverable via the best tree
+    best = mgr.restore_best(fresh)
+    assert int(best.step) == 1
+    assert_states_equal(best, small_state(1, step=1))
+
+
+def test_best_reopen_across_sessions(tmp_path):
+    """--restore-best works from a fresh manager over an existing dir."""
+    mgr = CheckpointManager(str(tmp_path), keep=2, best_keep=1)
+    for e, m in enumerate([0.1, 0.8, 0.2]):
+        mgr.save(e, small_state(e, step=e), metrics={"miou": m})
+    mgr.wait()
+    reopened = CheckpointManager(str(tmp_path), keep=2, best_keep=1)
+    assert reopened.best_epoch() == 1
+    assert int(reopened.restore_best(small_state(99)).step) == 1
 
 
 def test_multihost_helpers_single_process():
