@@ -53,6 +53,35 @@ def eval_scene_probs(apply_fn: Callable, params, blocks: Iterable[Dict],
             np.concatenate(all_probs, 0).astype(np.float32))
 
 
+def eval_rot_ensemble_probs(apply_fn: Callable, params,
+                            arms: Iterable[Tuple[float, Iterable[Dict]]],
+                            extra_keys: Tuple[str, ...] = ()
+                            ) -> Iterable[Tuple[np.ndarray, np.ndarray]]:
+    """Test-time rotation ensemble: run each rotation arm's block sweep and
+    map its sampled points back into the ORIGINAL frame.
+
+    The reference generates k·pi/12-rotated test-block variants
+    (semantic3d_test_to_block_with_rotate, semantic3d_util.py:539-557) whose
+    prep rotated the whole scan's absolute coordinates before block cutting,
+    so each arm's reconstructed xyz (block xyz + block_min) lives in the
+    rotated absolute frame; the inverse z-rotation restores the original
+    frame exactly.  ``arms``: (rot_ang, blocks) pairs — rot_ang is the angle
+    the PREP applied (0.0 for the unrotated arm).
+
+    Yields one (sxyz_original_frame, probs) per arm; the caller interpolates
+    each onto the dense cloud and averages (scripts/interpolate.py).
+    """
+    from ..data.augment import rotate_z
+
+    for rot_ang, blocks in arms:
+        sxyz, probs = eval_scene_probs(apply_fn, params, blocks,
+                                       extra_keys=extra_keys)
+        if rot_ang != 0.0:
+            sxyz = rotate_z(np.ascontiguousarray(sxyz, np.float32),
+                            -rot_ang)
+        yield sxyz, probs
+
+
 def interpolate_to_dense(sxyz: np.ndarray, sprobs: np.ndarray,
                          qxyz: np.ndarray, k: int = 6,
                          ratio: float = S3DIS_RATIO,

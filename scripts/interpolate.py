@@ -31,6 +31,7 @@ _cache.enable()
 from pointcloudsegmentation_tpu.data import io_util, s3dis, toy
 from pointcloudsegmentation_tpu.data.batching import pad_block
 from pointcloudsegmentation_tpu.eval import (S3DIS_RATIO, SEMANTIC3D_RATIO,
+                                             eval_rot_ensemble_probs,
                                              eval_scene_probs,
                                              interpolate_to_dense,
                                              save_semantic3d_labels,
@@ -58,6 +59,15 @@ def main():
     p.add_argument("--knn", type=int, default=6)
     p.add_argument("--labels-out", action="store_true",
                    help="write Semantic3D .labels submissions")
+    p.add_argument("--rot-ensemble", type=int, default=0, metavar="K",
+                   help="test-time rotation ensemble over K extra k*pi/12-"
+                        "rotated arms (semantic3d_test_to_block_with_rotate, "
+                        "semantic3d_util.py:539-557).  Arm ri's blocks are "
+                        "read from the sibling dir '<scene-dir>_<ri>' "
+                        "(prepare_data.py semantic3d_test --rotations K "
+                        "writes test/ + test_1/..test_K/); each arm's probs "
+                        "are interpolated onto the dense cloud in the "
+                        "original frame and AVERAGED")
     p.add_argument("--fast-search", action="store_true",
                    help="use the windowed approximate neighbor search "
                         "(the training-throughput default).  EVAL defaults "
@@ -104,11 +114,18 @@ def main():
     apply_fn = jax.jit(lambda params, *args: trainer.model.apply(
         params, *args, False))
 
-    def run_scene(name, blocks, dense_xyz, dense_labels):
-        sxyz, probs = eval_scene_probs(apply_fn, state.params, blocks,
-                                       extra_keys=extra_keys)
-        qprobs = interpolate_to_dense(sxyz, probs, dense_xyz, k=args.knn,
+    def run_scene(name, arms, dense_xyz, dense_labels):
+        """arms: [(rot_ang, blocks), ...] — arm 0 is the unrotated sweep.
+        Each arm's probs are interpolated onto the dense cloud in the
+        original frame; the ensemble average is the scene's qprobs."""
+        qprobs = None
+        sxyz = probs = None
+        for sxyz, probs in eval_rot_ensemble_probs(
+                apply_fn, state.params, arms, extra_keys=extra_keys):
+            qp = interpolate_to_dense(sxyz, probs, dense_xyz, k=args.knn,
                                       ratio=ratio)
+            qprobs = qp if qprobs is None else qprobs + qp
+        qprobs = qprobs / len(arms)
         if args.labels_out:
             path = os.path.join(args.out_dir, f"{name}.labels")
             save_semantic3d_labels(path, qprobs)
@@ -119,6 +136,26 @@ def main():
                      res["oacc"])
             return res
         return None
+
+    def load_blocks(fn):
+        data = io_util.read_pkl(fn)
+        blocks = []
+        for i in range(len(data["xyzs"])):
+            pb = pad_block(data["xyzs"][i],
+                           np.asarray(data["rgbs"][i], np.float32),
+                           np.asarray(data["lbls"][i], np.int32),
+                           d.num_points)
+            pb["block_min"] = np.asarray(data["block_mins"][i], np.float32)
+            for k in extra_keys:  # per-pipeline extras stored in the pkl
+                key = k + "s"
+                if key in data:
+                    pb[k] = np.asarray(data[key][i])
+            missing = [k for k in extra_keys if k not in pb]
+            if missing:
+                raise KeyError(f"scene pkl {fn} lacks {missing} required "
+                               f"by model '{cfg.model}'")
+            blocks.append(pb)
+        return blocks
 
     if args.synthetic:
         # one synthetic "scene": blocks cut from a larger cloud
@@ -137,46 +174,70 @@ def main():
             [b["xyz"][b["mask"]] + b["block_min"] for b in blocks], 0)
         dense_labels = np.concatenate(
             [b["labels"][b["mask"]] for b in blocks], 0)
+        # synthetic rotation arms: the prep-side rotation applied to the
+        # whole scene before block cutting, emulated here by rotating each
+        # block's absolute coordinates
+        arms = [(0.0, blocks)]
+        for ri in range(1, args.rot_ensemble + 1):
+            ang = np.pi / 12.0 * ri
+            arms.append((ang, [rotate_block(b, ang) for b in blocks]))
         state = trainer.init_state(rng, toy_batch(blocks))
-        res = run_scene("synthetic", blocks, dense_xyz, dense_labels)
+        res = run_scene("synthetic", arms, dense_xyz, dense_labels)
         assert res is not None
         return res
 
     assert args.checkpoint_dir and args.scene_dir
-    batch0 = None
     scene_files = sorted(glob.glob(os.path.join(args.scene_dir, "*.pkl")))
     results = []
     state = None
     for fn in scene_files:
-        data = io_util.read_pkl(fn)
-        blocks = []
-        for i in range(len(data["xyzs"])):
-            pb = pad_block(data["xyzs"][i],
-                           np.asarray(data["rgbs"][i], np.float32),
-                           np.asarray(data["lbls"][i], np.int32),
-                           d.num_points)
-            pb["block_min"] = np.asarray(data["block_mins"][i], np.float32)
-            for k in extra_keys:  # per-pipeline extras stored in the pkl
-                key = k + "s"
-                if key in data:
-                    pb[k] = np.asarray(data[key][i])
-            missing = [k for k in extra_keys if k not in pb]
-            if missing:
-                raise KeyError(f"scene pkl {fn} lacks {missing} required "
-                               f"by model '{cfg.model}'")
-            blocks.append(pb)
+        blocks = load_blocks(fn)
         if state is None:
             from pointcloudsegmentation_tpu.data.batching import stack_blocks
             state = trainer.init_state(rng, stack_blocks(blocks[:1]))
             ckpt = CheckpointManager(args.checkpoint_dir)
             state = ckpt.restore(state)
+        arms = [(0.0, blocks)]
+        base = os.path.basename(fn)
+        for ri in range(1, args.rot_ensemble + 1):
+            rfn = os.path.join(args.scene_dir.rstrip("/") + f"_{ri}", base)
+            if not os.path.exists(rfn):
+                raise FileNotFoundError(
+                    f"rotation arm {ri} missing: {rfn} (run "
+                    f"prepare_data.py semantic3d_test --rotations "
+                    f"{args.rot_ensemble})")
+            arms.append((np.pi / 12.0 * ri, load_blocks(rfn)))
         dense_xyz = np.concatenate(
             [b["xyz"][b["mask"]] + b["block_min"] for b in blocks], 0)
         dense_labels = np.concatenate(
             [b["labels"][b["mask"]] for b in blocks], 0)
-        name = os.path.splitext(os.path.basename(fn))[0]
-        results.append(run_scene(name, blocks, dense_xyz, dense_labels))
+        name = os.path.splitext(base)[0]
+        results.append(run_scene(name, arms, dense_xyz, dense_labels))
     return results
+
+
+def rotate_block(pb, ang):
+    """Rotate one padded block's ABSOLUTE coordinates by ``ang`` about z —
+    the synthetic stand-in for prep-side scene rotation (process_test_blocks
+    rot_ang).  Local frame is re-anchored at the rotated min."""
+    from pointcloudsegmentation_tpu.data.augment import rotate_z
+
+    out = dict(pb)
+    absolute = rotate_z(
+        np.ascontiguousarray(pb["xyz"] + pb["block_min"], np.float32), ang)
+    bmin = absolute[pb["mask"]].min(0) if pb["mask"].any() \
+        else np.zeros(3, np.float32)
+    out["xyz"] = (absolute - bmin).astype(np.float32)
+    out["block_min"] = bmin.astype(np.float32)
+    if "ctx_xyz" in pb:
+        out["ctx_xyz"] = (rotate_z(np.ascontiguousarray(
+            pb["ctx_xyz"] + pb["block_min"], np.float32), ang)
+            - bmin).astype(np.float32)
+    if "dense_xyz" in pb:
+        out["dense_xyz"] = (rotate_z(np.ascontiguousarray(
+            pb["dense_xyz"] + pb["block_min"], np.float32), ang)
+            - bmin).astype(np.float32)
+    return out
 
 
 def add_synthetic_extras(pb, extra_keys, rng_np):
