@@ -63,6 +63,24 @@ def available() -> bool:
     return _load() is not None
 
 
+def ensure_built(force: bool = False) -> None:
+    """Build csrc/ from source and load it; raise (don't skip) on failure.
+
+    The test suite calls this so a broken toolchain or source tree fails
+    loudly instead of silently falling back to the numpy paths — the .so
+    is NOT committed, so this is the only way the lib ever exists.
+    """
+    global _LIB, _TRIED
+    cmd = ["make", "-C", _CSRC] + (["-B"] if force else [])
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"native build failed:\n{proc.stdout}\n{proc.stderr}")
+    _LIB, _TRIED = None, False
+    if _load() is None:
+        raise RuntimeError(f"built {_SO} but ctypes failed to load it")
+
+
 def grid_downsample(xyz: np.ndarray, stride: float) -> np.ndarray:
     lib = _load()
     xyz = np.ascontiguousarray(xyz, np.float32)

@@ -246,6 +246,7 @@ def main(argv=None):
                  epoch, tr.get("loss", 0), te["miou"], te["oiou"],
                  te["oacc"], tr["points_per_sec"])
         write_metrics({"epoch": epoch, "train_loss": tr.get("loss", 0),
+                       "lr": float(trainer.lr_at(state.step)),
                        "miou": te["miou"], "oiou": te["oiou"],
                        "oacc": te["oacc"], "iou": te["iou"],
                        "acc": te["acc"],

@@ -130,6 +130,12 @@ class Trainer:
         self._train_step = jax.jit(self._step, static_argnames=("train",),
                                    donate_argnums=(0,))
         self._eval_step = jax.jit(partial(self._step, train=False))
+        self._lr_schedule = make_lr_schedule(self.cfg)
+
+    def lr_at(self, step) -> float:
+        """Current learning rate — for curve logging (the reference's
+        tf.summary lr scalar, train_gpn_scannet_new.py:85)."""
+        return float(self._lr_schedule(int(step)))
 
     # -- init ------------------------------------------------------------
     def init_state(self, rng: jax.Array, example_batch: Dict) -> TrainState:
@@ -231,13 +237,11 @@ class Trainer:
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state), good
 
-    def _use_accum(self, state: TrainState, batch: Dict, rngs) -> bool:
-        """Whether the gradient-accumulation scan path applies: plain
-        per-point segmentation (per-block logits [N, C]), single chip,
-        no auxiliary context/dense inputs.  Trace-time only (the knobs are
-        instance fields captured in __post_init__)."""
-        if self.mesh is not None or "ctx_xyz" in batch \
-                or "dense_xyz" in batch \
+    def _accum_eligible(self, state: TrainState, batch: Dict, rngs) -> bool:
+        """Plain per-point segmentation (per-block logits [N, C]) with no
+        auxiliary context/dense inputs — the shape the accumulation scan
+        handles.  Trace-time only."""
+        if "ctx_xyz" in batch or "dense_xyz" in batch \
                 or self._batch_vmap or self._no_accum:
             return False
         try:
@@ -250,17 +254,27 @@ class Trainer:
             return False
         return sh.ndim == 2
 
-    def _accum_train_step(self, state: TrainState, batch: Dict, rngs):
-        """Per-block value_and_grad inside a lax.scan, grads accumulated.
+    def _use_accum(self, state: TrainState, batch: Dict, rngs) -> bool:
+        """Single-chip gradient-accumulation scan path."""
+        return self.mesh is None and self._accum_eligible(state, batch,
+                                                          rngs)
 
-        Measured on TPU v5e (BASELINE.md round 3): the batched (vmapped)
-        step runs ~33% slower per block than the single-block program,
-        and grad-of-scan over blocks spills every block's residuals to
-        HBM before the first backward runs.  Running each block's
-        fwd+bwd back-to-back inside the scan keeps residual lifetimes
-        short and the single-block program's efficiency; the gradient is
-        EXACT (seg_loss_terms: per-point weights are params-independent,
-        so ∇(ΣS_b/ΣW_b) = Σ∇S_b / ΣW_b)."""
+    def _use_mesh_accum(self, state: TrainState, batch: Dict,
+                        rngs) -> bool:
+        """Mesh DP with batch_per_device > 1: accumulate the per-device
+        blocks inside shard_map (scan per shard + one grad psum over the
+        data axis) instead of vmapping all blocks — composes the measured
+        single-chip accumulation win (BASELINE.md: vmap runs ~33% slower
+        per block) with data parallelism.  batch_per_device == 1 keeps
+        the plain GSPMD-vmap path (nothing to accumulate)."""
+        return (self.mesh is not None
+                and batch["xyz"].shape[0] > self.mesh.size
+                and batch["xyz"].shape[0] % self.mesh.size == 0
+                and self._accum_eligible(state, batch, rngs))
+
+    def _accum_terms(self, params, xyz, feats, mask, labels, rngs):
+        """Per-block value_and_grad inside a lax.scan, sums accumulated:
+        returns (gacc, s, w, cm, correct, count) over the given blocks."""
         d = self.cfg.data
         C = d.num_classes
 
@@ -276,14 +290,14 @@ class Trainer:
             return s, (w, cm, correct, jnp.sum(valid))
 
         gfn = jax.value_and_grad(block_terms, has_aux=True)
-        carry0 = (jax.tree_util.tree_map(jnp.zeros_like, state.params),
+        carry0 = (jax.tree_util.tree_map(jnp.zeros_like, params),
                   jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
                   jnp.zeros((C, C), jnp.float32),
                   jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
 
         def body(carry, xs):
             gacc, sacc, wacc, cmacc, cacc, nacc = carry
-            (s, (w, cm, correct, cnt)), g = gfn(state.params, *xs)
+            (s, (w, cm, correct, cnt)), g = gfn(params, *xs)
             gacc = jax.tree_util.tree_map(jnp.add, gacc, g)
             return (gacc, sacc + s, wacc + w, cmacc + cm,
                     cacc + correct, nacc + cnt), None
@@ -294,9 +308,59 @@ class Trainer:
         # unroll 1/2/4 — the chip saturates within a block), kept as a
         # knob for other chips/batch shapes
         (gacc, s, w, cm, correct, count), _ = jax.lax.scan(
-            body, carry0,
-            (batch["xyz"], batch["feats"], batch["mask"],
-             batch["labels"], rngs), unroll=self._accum_unroll)
+            body, carry0, (xyz, feats, mask, labels, rngs),
+            unroll=self._accum_unroll)
+        return gacc, s, w, cm, correct, count
+
+    def _accum_train_step(self, state: TrainState, batch: Dict, rngs):
+        """Grad-accumulation train step (single chip).
+
+        Measured on TPU v5e (BASELINE.md round 3): the batched (vmapped)
+        step runs ~33% slower per block than the single-block program,
+        and grad-of-scan over blocks spills every block's residuals to
+        HBM before the first backward runs.  Running each block's
+        fwd+bwd back-to-back inside the scan keeps residual lifetimes
+        short and the single-block program's efficiency; the gradient is
+        EXACT (seg_loss_terms: per-point weights are params-independent,
+        so ∇(ΣS_b/ΣW_b) = Σ∇S_b / ΣW_b)."""
+        gacc, s, w, cm, correct, count = self._accum_terms(
+            state.params, batch["xyz"], batch["feats"], batch["mask"],
+            batch["labels"], rngs)
+        return self._finish_accum(state, gacc, s, w, cm, correct, count)
+
+    def _mesh_accum_train_step(self, state: TrainState, batch: Dict, rngs):
+        """Mesh DP step with per-device gradient accumulation: each device
+        scans over its batch_per_device local blocks (same program as the
+        single-chip accumulation path), then ONE psum over the 'data' axis
+        reduces (grads, loss terms, metrics) across devices.  The update is
+        exact and identical to accumulating all B blocks on one chip:
+        ∇(Σ_b S_b / Σ_b W_b) = Σ_b ∇S_b / Σ_b W_b with the sums taken
+        globally (psum of the per-device partial sums)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.mesh
+        ax = mesh.axis_names[0]
+
+        def local_terms(params, xyz, feats, mask, labels, rs):
+            terms = self._accum_terms(params, xyz, feats, mask, labels, rs)
+            return jax.lax.psum(terms, ax)
+
+        # check_vma=False: the accumulation scan's zero-initialized carry is
+        # device-unvarying while the body's outputs vary over 'data', which
+        # the varying-manual-axes checker rejects; the explicit psum above
+        # performs the only cross-device reduction, so the check adds
+        # nothing here.
+        sharded = shard_map(
+            local_terms, mesh=mesh,
+            in_specs=(P(), P(ax), P(ax), P(ax), P(ax), P(ax)),
+            out_specs=P(), check_vma=False)
+        gacc, s, w, cm, correct, count = sharded(
+            state.params, batch["xyz"], batch["feats"], batch["mask"],
+            batch["labels"], rngs)
+        return self._finish_accum(state, gacc, s, w, cm, correct, count)
+
+    def _finish_accum(self, state, gacc, s, w, cm, correct, count):
         denom = jnp.maximum(w, 1e-6)
         loss = s / denom
         grads = jax.tree_util.tree_map(lambda g: g / denom, gacc)
@@ -317,6 +381,8 @@ class Trainer:
         rngs = jax.random.split(jax.random.fold_in(rng, state.step), bsz)
         if train and self._use_accum(state, batch, rngs):
             return self._accum_train_step(state, batch, rngs)
+        if train and self._use_mesh_accum(state, batch, rngs):
+            return self._mesh_accum_train_step(state, batch, rngs)
 
         def loss_fn(params):
             logits = self._batched_logits(params, batch, rngs, train)

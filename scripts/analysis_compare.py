@@ -45,7 +45,14 @@ def _s3dis_names():
 
 
 def load_run(path: str):
-    """-> list of per-epoch dicts with at least epoch/miou/oacc."""
+    """-> list of per-epoch dicts with at least epoch/miou/oacc.
+
+    ``path`` may be a run DIRECTORY (a checkpoint_dir) — its
+    ``metrics.jsonl`` is resolved, so
+    ``python scripts/analysis_compare.py <run_dir> --curves`` is the
+    one-command training-curve artifact for any run."""
+    if os.path.isdir(path):
+        path = os.path.join(path, "metrics.jsonl")
     records = []
     with open(path) as f:
         first = f.read(1)
@@ -91,6 +98,10 @@ def main(argv=None):
     p.add_argument("--class-names", default=None,
                    help="'s3dis' or comma-separated names")
     p.add_argument("--out-dir", default="results/analysis")
+    p.add_argument("--curves", action="store_true",
+                   help="per-run loss/lr/mIoU panel PNG for every run (the "
+                        "reference's tf.summary scalar curves, "
+                        "train_gpn_scannet_new.py:85,131,283)")
     args = p.parse_args(argv)
 
     labels = args.labels or [os.path.basename(r).split(".")[0]
@@ -126,6 +137,30 @@ def main(argv=None):
     out = os.path.join(args.out_dir, f"compare_{args.metric}.png")
     fig.savefig(out)
     plt.close(fig)
+
+    # 1b. per-run training-curve panels: train_loss / lr / mIoU vs epoch
+    if args.curves:
+        for lab, rec in runs.items():
+            epochs = curve(rec, "epoch")
+            panels = [("train_loss", "train loss"), ("lr", "learning rate"),
+                      ("miou", "test mIoU")]
+            fig, axes = plt.subplots(1, 3, figsize=(13, 4), dpi=120)
+            for ax_i, (key, title) in zip(axes, panels):
+                y = curve(rec, key)
+                if np.all(np.isnan(y)):
+                    ax_i.set_title(f"{title} (no data)")
+                    continue
+                ax_i.plot(epochs, y, linewidth=1.5)
+                ax_i.set_xlabel("epoch")
+                ax_i.set_title(title)
+                ax_i.grid(alpha=0.3)
+                if key == "lr":
+                    ax_i.set_yscale("log")
+            fig.tight_layout()
+            cpath = os.path.join(args.out_dir, f"curves_{lab}.png")
+            fig.savefig(cpath)
+            plt.close(fig)
+            print(f"wrote {cpath}")
 
     # 2. per-class IoU curves (first run; needs JSONL records with 'iou')
     if args.per_class:

@@ -54,7 +54,7 @@ def band_recall(n=8192, cand_k=96, seed=0):
 
 
 def windowed_band_recall(n=8192, cand_k=64, seed=0, sel_mode="global",
-                         ov_pool_size=0):
+                         ov_pool_size=0, window=256):
     """TPU recall of the production windowed path (Morton sort + relaxed
     approx selection + windowed/overflow compaction) vs an exact host
     reference.  Threshold 0.94: the windowed pool + rt=0.8 selection trade
@@ -69,7 +69,7 @@ def windowed_band_recall(n=8192, cand_k=64, seed=0, sel_mode="global",
     xs, ms, _ = morton.sort_block(jnp.asarray(xyz), jnp.asarray(mask),
                                   0.0375, 3.0)
     res = search.windowed_multi_band_neighbors(
-        xs, ms, BANDS, tile=256, window=256, cand_k=cand_k, ov_slots=8,
+        xs, ms, BANDS, tile=256, window=window, cand_k=cand_k, ov_slots=8,
         chunk=2048, sel_mode=sel_mode, ov_pool_size=ov_pool_size)
     xn = np.asarray(xs)
     d2 = ((xn[:, None, :].astype(np.float64)
@@ -96,8 +96,9 @@ def main(argv=None):
     config.  --grid additionally sweeps sel_mode x cand_k at the
     production tile-pool size (A/B data for choosing defaults).
     Targeted configs: pass ``sel_mode:cand_k:pool`` triples (e.g.
-    ``slab:32:256``) to validate a candidate default without the full
-    grid; these skip the global-contract rows."""
+    ``slab:32:256``) — optionally ``sel_mode:cand_k:pool:window`` — to
+    validate a candidate default without the full grid; these skip the
+    global-contract rows."""
     argv = sys.argv[1:] if argv is None else argv
     grid = "--grid" in argv
     targeted = [a for a in argv if ":" in a]
@@ -109,9 +110,9 @@ def main(argv=None):
                 ok &= r >= 0.99
                 print(f"global seed={seed} band={band}: recall={r:.4f} "
                       f"{status}")
-    configs = [("slab", 32, 256)]  # the production default (model_zoo)
+    configs = [("slab", 32, 256, 256)]  # the production default (model_zoo)
     if grid:
-        configs = [(m, ck, 384) for m in ("global", "slab")
+        configs = [(m, ck, 384, 256) for m in ("global", "slab")
                    for ck in (64, 48, 32)]
     if targeted:
         if grid:
@@ -120,29 +121,31 @@ def main(argv=None):
         configs = []
         for t in targeted:
             parts = t.split(":")
-            if len(parts) != 3:
+            if len(parts) not in (3, 4):
                 raise SystemExit(
-                    f"bad config {t!r}: expected sel_mode:cand_k:pool "
-                    "(e.g. slab:32:256)")
-            m, ck, pool = parts
+                    f"bad config {t!r}: expected sel_mode:cand_k:pool"
+                    "[:window] (e.g. slab:32:256 or slab:32:256:128)")
+            m, ck, pool = parts[:3]
+            win = parts[3] if len(parts) == 4 else "256"
             if m not in ("global", "slab"):
                 raise SystemExit(f"bad sel_mode in {t!r}")
             try:
-                ck, pool = int(ck), int(pool)
+                ck, pool, win = int(ck), int(pool), int(win)
             except ValueError:
                 raise SystemExit(
-                    f"bad config {t!r}: cand_k and pool must be ints")
-            configs.append((m, ck, pool))
+                    f"bad config {t!r}: cand_k/pool/window must be ints")
+            configs.append((m, ck, pool, win))
         print("targeted configs skip the global-contract rows")
-    for sel_mode, ck, pool in configs:
+    for sel_mode, ck, pool, win in configs:
         for seed in (0, 1):
             for band, r in windowed_band_recall(seed=seed, cand_k=ck,
                                                 sel_mode=sel_mode,
-                                                ov_pool_size=pool):
+                                                ov_pool_size=pool,
+                                                window=win):
                 status = "OK" if r >= 0.94 else "FAIL"
                 ok &= r >= 0.94
-                print(f"windowed[{sel_mode},ck={ck},P={pool}] seed={seed} "
-                      f"band={band}: recall={r:.4f} {status}")
+                print(f"windowed[{sel_mode},ck={ck},P={pool},W={win}] "
+                      f"seed={seed} band={band}: recall={r:.4f} {status}")
     print("PASS" if ok else "FAIL")
     raise SystemExit(0 if ok else 1)
 

@@ -17,6 +17,7 @@ def _write_jsonl(path, epochs=5, c=13):
         for e in range(epochs):
             f.write(json.dumps({
                 "epoch": e, "train_loss": 2.0 - 0.1 * e,
+                "lr": 1e-3 * 0.9 ** e,
                 "miou": 0.1 + 0.05 * e, "oiou": 0.2 + 0.05 * e,
                 "oacc": 0.5 + 0.03 * e,
                 "iou": [0.1 * ((e + i) % 5) for i in range(c)],
@@ -59,6 +60,19 @@ def test_analysis_main_end_to_end(tmp_path):
     assert (out / "compare_miou.png").exists()
     assert (out / "per_class_A.png").exists()
     assert (out / "summary.json").exists()
+
+
+def test_run_dir_curves(tmp_path):
+    """One command on a run DIR produces the loss/lr/mIoU curve panel —
+    the reference's tf.summary scalar curves
+    (train_gpn_scannet_new.py:85,131,283)."""
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    _write_jsonl(run_dir / "metrics.jsonl")
+    out = tmp_path / "out"
+    analysis_compare.main([str(run_dir), "--labels", "R", "--curves",
+                           "--out-dir", str(out)])
+    assert (out / "curves_R.png").exists()
 
 
 def test_cli_metrics_writer(tmp_path):

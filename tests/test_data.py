@@ -20,8 +20,20 @@ def test_grid_downsample_one_per_voxel(rng):
     assert len(set(map(tuple, all_coords))) == len(idx)
 
 
-@pytest.mark.skipif(not native.available(), reason="native lib not built")
-def test_native_matches_numpy_downsample(rng):
+@pytest.fixture(scope="module", autouse=False)
+def built_native():
+    """Build csrc/ from source — fails (not skips) if the toolchain or the
+    source is broken, so a silent numpy-fallback regression is loud."""
+    native.ensure_built()
+    return native
+
+
+def test_native_builds_from_source():
+    native.ensure_built(force=True)
+    assert native.available()
+
+
+def test_native_matches_numpy_downsample(rng, built_native):
     xyz = rng.uniform(-2, 2, (2000, 3)).astype(np.float32)
     n_idx = native.grid_downsample(xyz, 0.3)
     # same voxel count as the numpy fallback
@@ -31,8 +43,7 @@ def test_native_matches_numpy_downsample(rng):
     assert len(n_idx) == n_vox
 
 
-@pytest.mark.skipif(not native.available(), reason="native lib not built")
-def test_native_radius_neighbors_oracle(rng):
+def test_native_radius_neighbors_oracle(rng, built_native):
     xyz = rng.uniform(-1, 1, (400, 3)).astype(np.float32)
     idx, cnt = native.radius_neighbors(xyz, xyz[:50], 0.3, 8)
     for i in range(50):
@@ -46,8 +57,7 @@ def test_native_radius_neighbors_oracle(rng):
         assert set(got) == want_set
 
 
-@pytest.mark.skipif(not native.available(), reason="native lib not built")
-def test_native_knn_oracle(rng):
+def test_native_knn_oracle(rng, built_native):
     s = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
     q = rng.uniform(-1, 1, (40, 3)).astype(np.float32)
     idx, d2 = native.knn(s, q, 4, cell_hint=0.3)
