@@ -72,39 +72,18 @@ def main():
     # selection-heavy, so single-digit MFU is expected — the metric tracks
     # how much of the step XLA spends on real matmul work).
     PEAK_FLOPS = 197e12
-    # the production step accumulates per-block grads inside a lax.scan and
-    # XLA's cost analysis counts a scan body ONCE — lower the vmapped step
-    # (identical per-block math, flat program) purely for FLOP counting.
-    # NOTE: flops_per_step therefore describes the vmapped lowering, not
-    # the timed scan program (same math, different schedule).
+    # Trainer.step_flops counts the TIMED program: the accumulation step is
+    # exactly batch x (per-block fwd+bwd) + one Adam update, and XLA's cost
+    # analysis counts a lax.scan body once, so the body is counted directly
+    # and scaled by the batch (train/loop.py:step_flops).
     import sys
-    flops = 0.0
-    prev_vmap = os.environ.get("PCS_BATCH_VMAP")
     try:
-        os.environ["PCS_BATCH_VMAP"] = "1"
-        try:
-            t2 = Trainer(cfg, search_chunk=CHUNK)
-            cost = t2._train_step.lower(
-                state, batches[0], rng).compile().cost_analysis()
-            flops = float(cost.get("flops", 0.0))
-        finally:
-            if prev_vmap is None:
-                os.environ.pop("PCS_BATCH_VMAP", None)
-            else:
-                os.environ["PCS_BATCH_VMAP"] = prev_vmap
+        flops = trainer.step_flops(state, batches[0], rng)
     except Exception as e:
-        print(f"WARNING: vmapped cost analysis failed ({e!r}); "
-              "falling back to the scan lowering (undercounts FLOPs)",
+        print(f"WARNING: cost analysis unavailable ({e!r}); "
+              "reporting mfu=0 — do NOT read this as a perf regression",
               file=sys.stderr)
-        try:
-            cost = trainer._train_step.lower(
-                state, batches[0], rng).compile().cost_analysis()
-            flops = float(cost.get("flops", 0.0))
-        except Exception as e2:
-            print(f"WARNING: cost analysis unavailable ({e2!r}); "
-                  "reporting mfu=0 — do NOT read this as a perf regression",
-                  file=sys.stderr)
-            flops = 0.0
+        flops = 0.0
     mfu = flops / dt / PEAK_FLOPS if flops else 0.0
 
     print(json.dumps({

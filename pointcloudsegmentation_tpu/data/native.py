@@ -69,13 +69,42 @@ def ensure_built(force: bool = False) -> None:
     The test suite calls this so a broken toolchain or source tree fails
     loudly instead of silently falling back to the numpy paths — the .so
     is NOT committed, so this is the only way the lib ever exists.
+
+    ``force=True`` rebuilds from scratch and verifies the FRESH artifact
+    loads by dlopen-ing a uniquely-named copy (dlopen caches by path, so
+    re-loading ``_SO`` itself would return any stale in-process handle and
+    never exercise the new binary).  The module-level handle still serves
+    whichever library was first loaded in this process.
+
+    Concurrent callers (parallel test workers) are serialized with an
+    exclusive flock on the Makefile so two ``make`` runs never rewrite the
+    .so under each other.
     """
     global _LIB, _TRIED
+    import fcntl
+
     cmd = ["make", "-C", _CSRC] + (["-B"] if force else [])
-    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    with open(os.path.join(_CSRC, "Makefile")) as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=300)
+        finally:
+            fcntl.flock(lockf, fcntl.LOCK_UN)
     if proc.returncode != 0:
         raise RuntimeError(
             f"native build failed:\n{proc.stdout}\n{proc.stderr}")
+    if force:
+        # verify the just-built binary (not a cached handle) is loadable
+        import shutil
+        import tempfile
+        with tempfile.NamedTemporaryFile(suffix=".so", delete=False) as tf:
+            tmp = tf.name
+        try:
+            shutil.copy2(_SO, tmp)
+            ctypes.CDLL(tmp)
+        finally:
+            os.unlink(tmp)
     _LIB, _TRIED = None, False
     if _load() is None:
         raise RuntimeError(f"built {_SO} but ctypes failed to load it")

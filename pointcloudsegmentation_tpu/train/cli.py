@@ -237,6 +237,11 @@ def main(argv=None):
         return res
 
     for epoch in range(start_epoch, cfg.num_epochs):
+        # LR at the epoch's FIRST step — state.step after the epoch would
+        # read the NEXT step's schedule value (one staircase boundary early
+        # at decay epochs) and drifts from the applied LR after skipped
+        # non-finite steps
+        epoch_lr = float(trainer.lr_at(int(jax.device_get(state.step))))
         state, tr = trainer.run_epoch(state, train_batches(), rng,
                                       train=True)
         state, te = trainer.run_epoch(state, test_batches(), rng,
@@ -246,7 +251,7 @@ def main(argv=None):
                  epoch, tr.get("loss", 0), te["miou"], te["oiou"],
                  te["oacc"], tr["points_per_sec"])
         write_metrics({"epoch": epoch, "train_loss": tr.get("loss", 0),
-                       "lr": float(trainer.lr_at(state.step)),
+                       "lr": epoch_lr,
                        "miou": te["miou"], "oiou": te["oiou"],
                        "oacc": te["oacc"], "iou": te["iou"],
                        "acc": te["acc"],

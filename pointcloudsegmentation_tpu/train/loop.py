@@ -272,24 +272,27 @@ class Trainer:
                 and batch["xyz"].shape[0] % self.mesh.size == 0
                 and self._accum_eligible(state, batch, rngs))
 
+    def _block_terms(self, params, xyz, feats, mask, labels, r):
+        """One block's unnormalized loss terms + metrics — the body the
+        accumulation scan runs per block (and the unit bench.py counts
+        FLOPs for, see step_flops)."""
+        d = self.cfg.data
+        logits = self.model.apply(params, xyz, feats, mask, True,
+                                  rngs={"dropout": r})
+        s, w, labels_eff, valid = seg_loss_terms(
+            logits, labels, mask, self.class_weights, d.ignore_label)
+        preds = jnp.argmax(logits, axis=-1)
+        cm = metrics_lib.confusion_matrix(labels_eff, preds, d.num_classes,
+                                          mask=valid)
+        correct = jnp.sum((preds == labels_eff) & valid)
+        return s, (w, cm, correct, jnp.sum(valid))
+
     def _accum_terms(self, params, xyz, feats, mask, labels, rngs):
         """Per-block value_and_grad inside a lax.scan, sums accumulated:
         returns (gacc, s, w, cm, correct, count) over the given blocks."""
-        d = self.cfg.data
-        C = d.num_classes
+        C = self.cfg.data.num_classes
 
-        def block_terms(params, xyz, feats, mask, labels, r):
-            logits = self.model.apply(params, xyz, feats, mask, True,
-                                      rngs={"dropout": r})
-            s, w, labels_eff, valid = seg_loss_terms(
-                logits, labels, mask, self.class_weights, d.ignore_label)
-            preds = jnp.argmax(logits, axis=-1)
-            cm = metrics_lib.confusion_matrix(labels_eff, preds, C,
-                                              mask=valid)
-            correct = jnp.sum((preds == labels_eff) & valid)
-            return s, (w, cm, correct, jnp.sum(valid))
-
-        gfn = jax.value_and_grad(block_terms, has_aux=True)
+        gfn = jax.value_and_grad(self._block_terms, has_aux=True)
         carry0 = (jax.tree_util.tree_map(jnp.zeros_like, params),
                   jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
                   jnp.zeros((C, C), jnp.float32),
@@ -373,6 +376,39 @@ class Trainer:
             "skipped": (~good).astype(jnp.int32),
         }
         return state, metrics
+
+    def step_flops(self, state: TrainState, batch: Dict,
+                   rng: jax.Array) -> float:
+        """FLOPs of the program ``train_step(state, batch, rng)`` actually
+        executes (for MFU accounting, bench.py).
+
+        XLA's cost analysis counts a ``lax.scan`` body ONCE, so lowering
+        the accumulation step directly undercounts by ~the batch size.
+        On the accumulation paths the timed program is exactly
+        batch × (per-block fwd+bwd) + one Adam update, so count the block
+        body directly and scale; the update is O(#params) elementwise ops
+        (≪0.1% of a block's matmul work) and is left uncounted.  Non-accum
+        paths (vmap / mesh GSPMD) lower flat programs that cost analysis
+        counts correctly."""
+        bsz = batch["xyz"].shape[0]
+        rngs = jax.random.split(jax.random.fold_in(rng, state.step), bsz)
+        blocks = None
+        if self._use_accum(state, batch, rngs):
+            blocks = bsz
+        elif self._use_mesh_accum(state, batch, rngs):
+            # per-chip program: each device scans its local blocks
+            blocks = bsz // self.mesh.size
+        if blocks is not None:
+            gfn = jax.jit(jax.value_and_grad(self._block_terms,
+                                             has_aux=True))
+            cost = gfn.lower(
+                state.params, batch["xyz"][0], batch["feats"][0],
+                batch["mask"][0], batch["labels"][0],
+                rngs[0]).compile().cost_analysis()
+            return float(cost.get("flops", 0.0)) * blocks
+        cost = self._train_step.lower(
+            state, batch, rng).compile().cost_analysis()
+        return float(cost.get("flops", 0.0))
 
     def _step(self, state: TrainState, batch: Dict, rng: jax.Array,
               train: bool = True):

@@ -34,6 +34,16 @@ def host_signature() -> str:
 
 
 def enable(path: str | None = None) -> str:
+    if os.environ.get("PCS_DISABLE_PERSISTENT_CACHE") == "1":
+        # XLA:CPU AOT artifacts are rejected at load time whenever the
+        # compile-feature string disagrees with the runtime-detected host
+        # features — observed even same-host, because XLA appends tuning
+        # pseudo-features (+prefer-no-gather/+prefer-no-scatter) to the
+        # compile set that the runtime detector never reports (see
+        # MULTICHIP_r04 tail).  Each rejected load costs a deserialize +
+        # full recompile, so for the CPU-mesh dryrun a persistent cache is
+        # strictly worse than one honest cold compile.
+        return ""
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT)
     path = os.path.join(path, f"host-{host_signature()}")
     os.makedirs(path, exist_ok=True)

@@ -1,5 +1,7 @@
 """Data pipeline tests: grid downsample oracle, block cropping, provider
 threading/batching, native library parity with numpy fallbacks."""
+import os
+
 import numpy as np
 import pytest
 
@@ -20,14 +22,24 @@ def test_grid_downsample_one_per_voxel(rng):
     assert len(set(map(tuple, all_coords))) == len(idx)
 
 
+_SKIP_NATIVE = pytest.mark.skipif(
+    os.environ.get("PCS_SKIP_NATIVE") == "1",
+    reason="PCS_SKIP_NATIVE=1: toolchain-less environment opt-out")
+
+
 @pytest.fixture(scope="module", autouse=False)
 def built_native():
     """Build csrc/ from source — fails (not skips) if the toolchain or the
-    source is broken, so a silent numpy-fallback regression is loud."""
+    source is broken, so a silent numpy-fallback regression is loud.
+    PCS_SKIP_NATIVE=1 is the explicit escape hatch for machines without a
+    C toolchain; concurrent builds are serialized by ensure_built's flock."""
+    if os.environ.get("PCS_SKIP_NATIVE") == "1":
+        pytest.skip("PCS_SKIP_NATIVE=1")
     native.ensure_built()
     return native
 
 
+@_SKIP_NATIVE
 def test_native_builds_from_source():
     native.ensure_built(force=True)
     assert native.available()
