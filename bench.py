@@ -11,6 +11,11 @@ import json
 import time
 
 import jax
+from jax import numpy as _jnp
+
+
+def jnp_asarray(x):
+    return _jnp.asarray(x)
 
 from pointcloudsegmentation_tpu.utils import cache as _cache
 _cache.enable()
@@ -86,6 +91,55 @@ def main():
         flops = 0.0
     mfu = flops / dt / PEAK_FLOPS if flops else 0.0
 
+    # ---- inference benchmark: block sweep -> probs -> dense interpolation
+    # (the reference times this ad hoc, interpolate.py:121-168).  Runs the
+    # production eval pipeline (eval_scene_probs + interpolate_to_dense) on
+    # one synthetic scene; reported as extra fields on the SAME json line
+    # (the driver parses one object).
+    eval_pps = 0.0
+    try:
+        from pointcloudsegmentation_tpu.eval import (eval_scene_probs,
+                                                     interpolate_to_dense)
+
+        apply_fn = jax.jit(lambda params, xyz, feats, mask:
+                           trainer.model.apply(params, xyz, feats, mask,
+                                               False))
+        rng_np = np.random.RandomState(0)
+        blocks = []
+        for i in range(8):
+            blk = toy.synthetic_room_block(rng_np, n=NUM_POINTS,
+                                           num_classes=13, feat_dim=12)
+            blocks.append({"xyz": jax.device_put(jnp_asarray(blk["xyz"])),
+                           "feats": jax.device_put(
+                               jnp_asarray(blk["feats"])),
+                           "mask": jax.device_put(jnp_asarray(
+                               np.ones(NUM_POINTS, bool))),
+                           "block_min": np.array([3.0 * i, 0, 0],
+                                                 np.float32)})
+        # dense cloud: 4x the sampled density, drawn NEAR the sampled
+        # surfaces (jittered copies) — queries far outside the support
+        # force the native k-NN into expanding-ring retries and would bench
+        # the degenerate case, not the S3DIS-shaped one
+        dense = np.concatenate(
+            [np.repeat(np.asarray(b["xyz"]), 4, axis=0)
+             + rng_np.uniform(-0.05, 0.05, (4 * NUM_POINTS, 3)
+                              ).astype(np.float32)
+             + b["block_min"][None, :]
+             for b in blocks], axis=0).astype(np.float32)
+        eval_scene_probs(apply_fn, state.params, blocks)  # warm compile
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sxyz, probs = eval_scene_probs(apply_fn, state.params, blocks)
+            _ = interpolate_to_dense(sxyz, probs, dense, k=6)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        eval_pps = len(dense) / times[len(times) // 2]
+    except Exception as e:
+        import sys
+        print(f"WARNING: eval benchmark failed ({e!r}); "
+              "eval_points_per_sec=0", file=sys.stderr)
+
     print(json.dumps({
         "metric": "s3dis_train_points_per_sec_per_chip",
         "value": round(pps, 1),
@@ -93,6 +147,7 @@ def main():
         "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 3),
         "mfu": round(mfu, 4),
         "flops_per_step": flops,
+        "eval_points_per_sec_per_chip": round(eval_pps, 1),
     }))
 
 

@@ -214,9 +214,14 @@ def synthetic_s3dis_room(rng: Optional[np.random.RandomState] = None,
 def room_blocks(rng: Optional[np.random.RandomState] = None,
                 num_rooms: int = 1, use_covars: bool = True,
                 block_size: float = 3.0, ds_stride: float = 0.05,
-                model: str = "train") -> List[Dict]:
+                model: str = "train",
+                with_mins: bool = False) -> List[Dict]:
     """Rooms -> training blocks through the REAL offline+online prep
-    (s3dis.prepare_room + blocks_from_room_pkl semantics, in memory)."""
+    (s3dis.prepare_room + blocks_from_room_pkl semantics, in memory).
+
+    ``with_mins=True`` additionally carries each block's absolute origin
+    ("block_min") so scene-level eval can reassemble the room
+    (eval_scene_probs adds it back)."""
     from . import augment
     from . import s3dis
 
@@ -232,7 +237,11 @@ def room_blocks(rng: Optional[np.random.RandomState] = None,
                 xyz, rgb = augment.train_time_augment(xyz, rgb, rng)
             feats = (np.concatenate([rgb, prep["covars"][i]], 1)
                      if use_covars else rgb).astype(np.float32)
-            out.append({"xyz": xyz.astype(np.float32), "feats": feats,
-                        "labels": np.asarray(prep["lbls"][i],
-                                             np.int32).reshape(-1)})
+            blk = {"xyz": xyz.astype(np.float32), "feats": feats,
+                   "labels": np.asarray(prep["lbls"][i],
+                                        np.int32).reshape(-1)}
+            if with_mins:
+                blk["block_min"] = np.asarray(prep["block_mins"][i],
+                                              np.float32)
+            out.append(blk)
     return out

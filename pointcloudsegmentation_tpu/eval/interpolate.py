@@ -37,18 +37,23 @@ def eval_scene_probs(apply_fn: Callable, params, blocks: Iterable[Dict],
     [2, N, C] for the refine cascade — the refine row is used, matching
     train_graph_pool_refine.py's eval of the refined classifier).
     """
-    all_xyz, all_probs = [], []
+    all_xyz, dev_probs, masks = [], [], []
+    # dispatch the whole sweep WITHOUT per-block host syncs (a per-block
+    # np.asarray would serialize the async dispatch pipeline and bill the
+    # device-dispatch/readback latency to every block — the same discipline
+    # as train/loop.run_epoch); probs come back in one drain below
     for b in blocks:
         extras = [b[k] for k in extra_keys]
         logits = apply_fn(params, b["xyz"], b["feats"], b["mask"], *extras)
         if logits.ndim == 3:  # refine cascade: (refine, base) stacked
             logits = logits[0]
-        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        dev_probs.append(jax.nn.softmax(logits, axis=-1))
         m = np.asarray(b["mask"])
+        masks.append(m)
         xyz = np.asarray(b["xyz"])[m] + np.asarray(
             b.get("block_min", np.zeros(3, np.float32)))[None, :]
         all_xyz.append(xyz)
-        all_probs.append(probs[m])
+    all_probs = [np.asarray(p)[m] for p, m in zip(dev_probs, masks)]
     return (np.concatenate(all_xyz, 0).astype(np.float32),
             np.concatenate(all_probs, 0).astype(np.float32))
 
@@ -86,24 +91,36 @@ def interpolate_to_dense(sxyz: np.ndarray, sprobs: np.ndarray,
                          qxyz: np.ndarray, k: int = 6,
                          ratio: float = S3DIS_RATIO,
                          chunk: int = 200_000,
-                         prefer_native: bool = True) -> np.ndarray:
+                         prefer_native: Optional[bool] = None) -> np.ndarray:
     """Gaussian k-NN interpolation of probs onto the dense cloud, chunked
     over queries (the reference loops 1M-point chunks,
-    interpolate.py:156-168).  Uses the native host library when available
-    (millions of queries), else the device kernel."""
+    interpolate.py:156-168).
+
+    Backend choice (``prefer_native=None`` = auto): the native hash-grid
+    k-NN wins whenever it is available — measured 0.59 s vs 4.9 s device
+    for 262k queries / 65k support on the r5 host: the device arm's exact
+    top-k over the support axis dominates even tiled (ops/search._tiled_top_k)
+    because TPU sorts are expensive per element, while the hash grid visits
+    ~10² candidates per query.  The device kernel remains the fallback for
+    toolchain-less hosts and the in-graph consumer (ops.interpolate).
+    """
     from ..data import native
 
+    if prefer_native is None:
+        prefer_native = True
     if prefer_native and native.available():
         return native.interpolate_probs(sxyz, sprobs, qxyz, k, ratio,
                                         cell_hint=0.3)
     outs = []
     smask = jnp.ones(len(sxyz), bool)
+    sxyz_d = jnp.asarray(sxyz)
+    sprobs_d = jnp.asarray(sprobs)
     for beg in range(0, len(qxyz), chunk):
         q = jnp.asarray(qxyz[beg:beg + chunk])
-        outs.append(np.asarray(interp_ops.interpolate_probs(
-            jnp.asarray(sxyz), smask, jnp.asarray(sprobs), q,
-            jnp.ones(len(q), bool), k=k, ratio=ratio)))
-    return np.concatenate(outs, 0)
+        outs.append(interp_ops.interpolate_probs(
+            sxyz_d, smask, sprobs_d, q,
+            jnp.ones(len(q), bool), k=k, ratio=ratio))
+    return np.concatenate([np.asarray(o) for o in outs], 0)
 
 
 def scene_iou(labels: np.ndarray, preds: np.ndarray,

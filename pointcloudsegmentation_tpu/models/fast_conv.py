@@ -43,16 +43,31 @@ class PointNetConvFast(nn.Module):
     the level's bands; ``edge_band=(min_radius, max_radius)`` selects this
     conv's band, ``edge_rescale`` applies the same sxyz normalization the
     caller applied to the windowed ``sxyz``.
+
+    xyz fold (``xyz``/``inv_rescale`` given, ``sxyz`` may be None): instead
+    of consuming the search's per-edge ``sxyz`` tensor, gather the neighbor
+    COORDINATES alongside the projections — two extra bf16 columns per axis
+    (hi = bf16(xyz), mid = bf16(xyz - hi): one-hot/pool/row gathers move
+    them exactly, and hi + mid reconstructs xyz to 2^-16 relative, tighter
+    than the bf16 cast the sxyz path feeds the Dense anyway) — and compute
+    ``sxyz = (xyz_j - xyz_i) * inv_rescale`` in-layer.  This removes the
+    per-band sxyz compaction einsums and every [N, K, 3] materialization
+    from the step (measured ~4.5 ms/step of sxyz-shaped fusions in the r5
+    trace); the 6 extra gathered columns ride the existing lane padding.
+    sxyz is data, not params, so it is stop-gradient (matching the search
+    path, where the cotangent chain into xyz was dead code).
     """
 
     fc_dims: Sequence[int]
     out_dim: int
 
     @nn.compact
-    def __call__(self, sxyz: jnp.ndarray, feats: jnp.ndarray, nbr,
+    def __call__(self, sxyz: Optional[jnp.ndarray], feats: jnp.ndarray, nbr,
                  edges: Optional[EdgeOverflow] = None,
                  edge_band: Optional[Tuple[float, float]] = None,
-                 edge_rescale: float = 1.0) -> jnp.ndarray:
+                 edge_rescale: float = 1.0,
+                 xyz: Optional[jnp.ndarray] = None,
+                 inv_rescale: float = 1.0) -> jnp.ndarray:
         dims = list(self.fc_dims) + [self.out_dim]
         offs = [0]
         for d in dims:
@@ -85,7 +100,20 @@ class PointNetConvFast(nn.Module):
             return out
 
         # windowed / slot path
-        nbr_all = nb.gather_neighbors(nbr_proj, nbr)         # [N, K, ΣD]
+        if xyz is not None:
+            sd = nbr_proj.shape[-1]
+            cdt = nbr_proj.dtype
+            hi = xyz.astype(cdt)
+            mid = (xyz - hi.astype(jnp.float32)).astype(cdt)
+            fp_ext = jnp.concatenate([nbr_proj, hi, mid], axis=-1)
+            g = nb.gather_neighbors(fp_ext, nbr)             # [N, K, ΣD+6]
+            nbr_all = g[..., :sd]
+            xyz_j = g[..., sd:sd + 3].astype(jnp.float32) \
+                + g[..., sd + 3:].astype(jnp.float32)
+            sxyz = jax.lax.stop_gradient(
+                (xyz_j - xyz[:, None, :]) * inv_rescale).astype(cdt)
+        else:
+            nbr_all = nb.gather_neighbors(nbr_proj, nbr)     # [N, K, ΣD]
         out_win = stack(nbr_all, [c[:, None, :] for c in cens], sxyz)
         neg_win = jnp.where(nbr.mask[..., None], out_win, _NEG)
         best = jnp.max(neg_win, axis=1)                      # [N, Dout]

@@ -20,6 +20,7 @@ consecutive convs the same way).
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
@@ -427,7 +428,8 @@ class PointNetSegEncoder(nn.Module):
 
     def _stage_neighborhoods(self, xyz, mask, specs,
                              edge_ratio: int = 3,
-                             is_sorted: bool = False) -> Dict:
+                             is_sorted: bool = False,
+                             need_sxyz: bool = True) -> Dict:
         """ALL of a stage's (min_radius, radius, k) searches in one
         candidate-selection pass (search.multi_band_neighbors) — the
         reference runs 4 independent O(N²) brute-force searches per stage
@@ -435,7 +437,12 @@ class PointNetSegEncoder(nn.Module):
 
         Returns spec -> (nbr, sxyz, edges-or-None); on the windowed path the
         out-of-slab neighbors arrive as ONE shared EdgeOverflow list per
-        level (edges is identical across the level's specs)."""
+        level (edges is identical across the level's specs).
+
+        ``need_sxyz=False`` (every consumer is a fold-path PointNetConvFast,
+        which reconstructs sxyz from gathered coordinates): skip the
+        per-band sxyz compaction einsums and [N, K, 3] materializations
+        entirely; the returned sxyz entries are None."""
         import os
 
         uniq = []
@@ -456,7 +463,7 @@ class PointNetSegEncoder(nn.Module):
                 cand_k=search.effective_win_cand_k(
                     self.win_cand_k, self.cand_k, bands, n),
                 ov_slots=self.ov_slots, chunk=min(self.search_chunk, n),
-                return_sxyz=True, ov_mode=self.ov_mode,
+                return_sxyz=need_sxyz, ov_mode=self.ov_mode,
                 ov_pool_size=self.ov_pool_size,
                 sel_mode=search.resolve_sel_mode(self.sel_mode),
                 edge_ratio=edge_ratio,
@@ -467,11 +474,17 @@ class PointNetSegEncoder(nn.Module):
                 ov_window=0)
             if self.ov_mode == "edges":
                 return dict(zip(uniq, res))
+            if not need_sxyz:
+                return {spec: (nbr, None, None) for spec, nbr in
+                        zip(uniq, res)}
             return {spec: (nbr, sx, None) for spec, (nbr, sx) in
                     zip(uniq, res)}
         pairs = search.multi_band_neighbors(
             xyz, mask, bands, cand_k=min(self.cand_k, n),
-            chunk=min(self.search_chunk, n), return_sxyz=True)
+            chunk=min(self.search_chunk, n), return_sxyz=need_sxyz)
+        if not need_sxyz:
+            return {spec: (nbr, None, None) for spec, nbr in
+                    zip(uniq, pairs)}
         return {spec: (nbr, sx, None) for spec, (nbr, sx) in
                 zip(uniq, pairs)}
 
@@ -496,16 +509,43 @@ class PointNetSegEncoder(nn.Module):
         edge_caches = []
         for s, stage in enumerate(arch.stages):
             specs = [(c.radius, c.min_radius, c.k) for c in stage.convs]
+            # xyz fold (PCS_XYZ_FOLD=1, off by default): PointNetConvFast
+            # reconstructs sxyz from gathered hi/mid coordinate columns
+            # instead of consuming the search's per-band sxyz.  Measured on
+            # TPU v5e (r5): the XLA lowering of the fold is a net LOSS
+            # (505k vs 544k points/s/chip) — the +6 gathered columns cross
+            # the 128-lane boundary at stage 1 (SumD=128 -> 134) and the
+            # per-conv fp_ext concats/casts outweigh the removed sxyz
+            # compaction — so the search-sxyz path stays the XLA default.
+            # The fold IS the layout of the fused Pallas conv kernel
+            # (ops/pallas/fused_conv.py), which builds fp_ext once in VMEM.
+            # sxyz is always required by the non-fold convs (nofeats /
+            # noconcat variants run layers.PointNetConv) and the Semantic3D
+            # pre-stage.
+            need_sxyz = (not self.fast_conv) or any(
+                c.nofeats or c.noconcat for c in stage.convs) \
+                or os.environ.get("PCS_XYZ_FOLD", "") != "1"
             if s == 1 and arch.pre_stage is not None:
                 specs.append((arch.pre_stage.radius, 0.0, arch.pre_stage.k))
+                need_sxyz = True
             # deeper levels see proportionally more out-of-slab neighbors
             # (larger radii vs the same window) — give them more edge room
             triples = self._stage_neighborhoods(
                 pyramid.levels[s].xyz, pyramid.levels[s].mask, specs,
                 edge_ratio=3 if s == 0 else 5,
-                is_sorted=pyramid.level_sorted(s))
+                is_sorted=pyramid.level_sorted(s),
+                need_sxyz=need_sxyz or self.ov_mode == "edges")
             caches.append({spec: p[0] for spec, p in triples.items()})
-            sxyz_caches.append({spec: p[1] for spec, p in triples.items()})
+            # cast sxyz to the compute dtype HERE so XLA fuses the cast into
+            # the search's compaction einsum epilogue and the f32 [N, K, 3]
+            # intermediates never reach HBM — every consumer (Dense sx_mods
+            # / the per-edge concat) casts to bf16 anyway
+            from .layers import compute_dtype
+            cdt = compute_dtype()
+            sxyz_caches.append({
+                spec: (p[1] if p[1] is None or cdt is None
+                       else p[1].astype(cdt))
+                for spec, p in triples.items()})
             edge_caches.append(next(iter(triples.values()))[2])
 
         # optional Semantic3D pre-stage on level 1, unpooled onto level 0
@@ -533,7 +573,8 @@ class PointNetSegEncoder(nn.Module):
                 edges = edge_caches[s]
                 band = (c.min_radius, c.radius)
                 rescale = stage.rescale if stage.rescale != 1.0 else c.radius
-                sxyz = sxyz_caches[s][spec] / rescale
+                sxyz_raw = sxyz_caches[s][spec]
+                sxyz = None if sxyz_raw is None else sxyz_raw / rescale
                 if c.nofeats:
                     feats = PointNetConv(
                         c.fc_dims, c.out, use_feats=False,
@@ -556,10 +597,15 @@ class PointNetSegEncoder(nn.Module):
                                     else PointNetConv)
                         if self.remat:
                             conv_cls = nn.remat(conv_cls)
+                        kw = {}
+                        if sxyz is None:
+                            # xyz fold: the conv reconstructs sxyz from
+                            # gathered hi/mid coordinate columns
+                            kw = dict(xyz=xyz_s, inv_rescale=1.0 / rescale)
                         fpn = conv_cls(c.fc_dims, c.out,
                                        name=f"feats{conv_idx}")(
                             sxyz, fin, nbr, edges=edges, edge_band=band,
-                            edge_rescale=rescale)
+                            edge_rescale=rescale, **kw)
                     feats = jnp.concatenate([feats, fpn], axis=-1)
                 conv_idx += 1
             stage_feats.append(feats)

@@ -278,6 +278,33 @@ def annulus_neighbors(xyz: jnp.ndarray, mask: jnp.ndarray, min_radius: float,
                             min_radius=min_radius, chunk=chunk)
 
 
+def _tiled_top_k(score: jnp.ndarray, k: int, tile: int = 512):
+    """EXACT top-k over a wide axis as two narrow top-ks: each tile's k
+    best first (any global top-k element is top-k within its own tile),
+    then top-k over the nt*k survivors.  lax.top_k cost grows superlinearly
+    with the sorted width on TPU (38.6 ms at [2048, 8192] vs 0.4 ms via
+    approx — BASELINE.md), so splitting a 65k-wide sort into 512-wide sorts
+    is ~an order of magnitude faster while staying exact.
+
+    Returns (values [.., k], indices [.., k] into the original axis).
+    """
+    n = score.shape[-1]
+    if n <= max(2 * tile, k):
+        return jax.lax.top_k(score, k)
+    n_pad = _pad_to_multiple(n, tile)
+    sp = jnp.pad(score, [(0, 0)] * (score.ndim - 1) + [(0, n_pad - n)],
+                 constant_values=-_INF)
+    nt = n_pad // tile
+    s2 = sp.reshape(*score.shape[:-1], nt, tile)
+    v1, i1 = jax.lax.top_k(s2, min(k, tile))          # [.., nt, k]
+    base = (jnp.arange(nt, dtype=jnp.int32) * tile)[:, None]
+    g1 = (i1.astype(jnp.int32) + base).reshape(*score.shape[:-1], -1)
+    v1 = v1.reshape(*score.shape[:-1], -1)            # [.., nt*k]
+    v2, i2 = jax.lax.top_k(v1, k)
+    idx = jnp.take_along_axis(g1, i2, axis=-1)
+    return v2, idx
+
+
 @partial(jax.jit, static_argnames=("k", "chunk"))
 def knn_in_support(query: jnp.ndarray, query_mask: jnp.ndarray,
                    support: jnp.ndarray, support_mask: jnp.ndarray,
@@ -303,7 +330,7 @@ def knn_in_support(query: jnp.ndarray, query_mask: jnp.ndarray,
             precision=jax.lax.Precision.HIGHEST)
         d2 = jnp.maximum(d2, 0.0)
         score = jnp.where(s_inval[None, :], -_INF, -d2)
-        top, top_idx = jax.lax.top_k(score, k)
+        top, top_idx = _tiled_top_k(score, k)
         valid = top > -_INF * 0.5
         return top_idx.astype(jnp.int32), -top, valid
 

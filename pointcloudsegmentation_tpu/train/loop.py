@@ -160,8 +160,10 @@ class Trainer:
                 jnp.asarray(example_batch["dense_mask"][0]))
         else:
             params = init_fn(rng, xyz, feats, mask)
+        from jax.flatten_util import ravel_pytree
+        vec_p, _ = ravel_pytree(params)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                           opt_state=self.tx.init(params))
+                           opt_state=self.tx.init(vec_p))
         if self.mesh is not None:
             state = mesh_lib.replicate(state, self.mesh)
         return state
@@ -220,20 +222,31 @@ class Trainer:
     def _apply_update(self, state: TrainState, grads, loss):
         """Adam update + the non-finite step guard (the reference has no
         failure handling, SURVEY §5): a bad batch must not poison the
-        parameters — keep the previous state and count the skipped step."""
-        updates, opt_state = self.tx.update(grads, state.opt_state,
-                                            state.params)
-        params = optax.apply_updates(state.params, updates)
-        good = jnp.isfinite(loss) & jnp.all(jnp.asarray(
-            [jnp.all(jnp.isfinite(g)) for g in
-             jax.tree_util.tree_leaves(grads)]))
-        params = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(good, new, old),
-            params, state.params)
+        parameters — keep the previous state and count the skipped step.
+
+        The update runs on the FLATTENED gradient vector: the model has
+        ~250 parameter tensors, and per-leaf Adam + guard selects lowered
+        to ~1500 tiny dispatch-bound fusions (measured ~3.7 ms/step of
+        select_add fusions in the r5 step trace).  One ravel -> one Adam on
+        [P] -> one guard select -> unravel-and-add collapses that to a
+        handful of fused kernels.  opt_state therefore holds Adam moments
+        for the flat vector (checkpoints from the per-leaf format are not
+        interchangeable)."""
+        from jax.flatten_util import ravel_pytree
+
+        vec_g, _ = ravel_pytree(grads)
+        good = jnp.isfinite(loss) & jnp.all(jnp.isfinite(vec_g))
+        updates_vec, opt_state = self.tx.update(vec_g, state.opt_state)
+        # zero the update on bad steps (params unchanged) and keep the
+        # previous optimizer state (moments AND step count revert)
+        updates_vec = jnp.where(good, updates_vec, 0.0)
         opt_state = jax.tree_util.tree_map(
             lambda new, old: jnp.where(good, new, old)
             if hasattr(new, "shape") else new,
             opt_state, state.opt_state)
+        _, unravel = ravel_pytree(state.params)
+        params = jax.tree_util.tree_map(
+            jnp.add, state.params, unravel(updates_vec))
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state), good
 

@@ -190,6 +190,66 @@ def test_windowed_matches_global_path_through_conv(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_fast_conv_xyz_fold_matches_sxyz_path(rng):
+    """The xyz fold (gather hi/mid coordinate columns, reconstruct sxyz
+    in-layer) must equal the search-sxyz path: same params, same windowed
+    neighborhood, rescaled band."""
+    from pointcloudsegmentation_tpu.models.fast_conv import PointNetConvFast
+
+    xyz, mask, _ = _sorted_cloud(rng, 512, n_valid=512)
+    (pair,) = search.windowed_multi_band_neighbors(
+        jnp.asarray(xyz), jnp.asarray(mask), ((0.0, 0.4, 12),), tile=128,
+        window=128, cand_k=48, ov_slots=6, return_sxyz=True)
+    wn, sxyz = pair
+    feats = jnp.asarray(rng.randn(512, 16).astype(np.float32))
+    rescale = 0.4
+
+    conv = PointNetConvFast((8, 8), 16)
+    params = conv.init(jax.random.PRNGKey(0), sxyz / rescale, feats, wn)
+    want = conv.apply(params, sxyz / rescale, feats, wn)
+    got = conv.apply(params, None, feats, wn, xyz=jnp.asarray(xyz),
+                     inv_rescale=1.0 / rescale)
+    # f32 fold is exact up to the (xyz_j - xyz_i) recomputation order
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradients wrt feats must match too (sxyz is stop-gradient in both)
+    def loss(path_sxyz):
+        def f(ft):
+            if path_sxyz:
+                o = conv.apply(params, sxyz / rescale, ft, wn)
+            else:
+                o = conv.apply(params, None, ft, wn,
+                               xyz=jnp.asarray(xyz),
+                               inv_rescale=1.0 / rescale)
+            return jnp.sum(o ** 2)
+        return jax.grad(f)(feats)
+
+    np.testing.assert_allclose(np.asarray(loss(False)),
+                               np.asarray(loss(True)), rtol=1e-4, atol=1e-4)
+
+
+def test_fast_conv_xyz_fold_with_pool(rng):
+    """Fold through the tile-shared overflow pool: invalid pool slots must
+    still self-pad (sxyz exactly 0) and outputs match the sxyz path."""
+    from pointcloudsegmentation_tpu.models.fast_conv import PointNetConvFast
+
+    xyz, mask, _ = _sorted_cloud(rng, 512, n_valid=500)
+    (pair,) = search.windowed_multi_band_neighbors(
+        jnp.asarray(xyz), jnp.asarray(mask), ((0.0, 0.5, 12),), tile=128,
+        window=128, cand_k=48, ov_slots=6, ov_pool_size=32,
+        return_sxyz=True)
+    wn, sxyz = pair
+    assert wn.pool_idx is not None
+    feats = jnp.asarray(rng.randn(512, 16).astype(np.float32))
+    conv = PointNetConvFast((8,), 8)
+    params = conv.init(jax.random.PRNGKey(1), sxyz, feats, wn)
+    want = conv.apply(params, sxyz, feats, wn)
+    got = conv.apply(params, None, feats, wn, xyz=jnp.asarray(xyz))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_windowed_sxyz_consistent(rng):
     xyz, mask, _ = _sorted_cloud(rng, 512, n_valid=490)
     res = search.windowed_multi_band_neighbors(
