@@ -94,16 +94,60 @@ def _color_for(rng, label, n):
     return np.clip(c, 0.0, 1.0).astype(np.float32)
 
 
+def _hard_postprocess(xyz: np.ndarray, labels: np.ndarray, rgb: np.ndarray,
+                      rng: np.random.RandomState):
+    """Real-scan failure modes the base generator lacks (VERDICT r4 #6):
+
+    - density gradient: a virtual scanner position thins far surfaces
+      ~1/r² (real S3DIS rooms were scanned from a few stations — density
+      varies ~10x across a room, s3dis_util.py:32-138 data);
+    - occlusion dropout: random spherical holes (furniture shadows);
+    - sensor speckle: a sprinkle of floating outlier points labeled
+      clutter (real scans carry reflection ghosts).
+    """
+    n = len(xyz)
+    lo, hi = xyz.min(0), xyz.max(0)
+    scanner = np.array([rng.uniform(lo[0] + 0.3, lo[0] + 1.5),
+                        rng.uniform(lo[1] + 0.3, lo[1] + 1.5), 1.6],
+                       np.float32)
+    r2 = ((xyz - scanner[None, :]) ** 2).sum(1)
+    keep_p = np.clip(4.0 / np.maximum(r2, 1.0), 0.12, 1.0)
+    keep = rng.rand(n) < keep_p
+    for _ in range(rng.poisson(3.0)):
+        c = xyz[rng.randint(n)]
+        rad = rng.uniform(0.2, 0.6)
+        keep &= ((xyz - c[None, :]) ** 2).sum(1) > rad * rad
+    if keep.sum() < 1024:  # degenerate draw — keep the room usable
+        keep = np.ones(n, bool)
+    xyz, labels, rgb = xyz[keep], labels[keep], rgb[keep]
+    m = max(1, int(0.002 * len(xyz)))
+    sp = np.stack([rng.uniform(lo[0], hi[0], m),
+                   rng.uniform(lo[1], hi[1], m),
+                   rng.uniform(lo[2], hi[2], m)], 1).astype(np.float32)
+    xyz = np.concatenate([xyz, sp], 0)
+    labels = np.concatenate([labels, np.full(m, CLUTTER, np.int32)], 0)
+    rgb = np.concatenate([rgb, rng.rand(m, 3).astype(np.float32)], 0)
+    return xyz, labels, rgb
+
+
 def synthetic_s3dis_room(rng: Optional[np.random.RandomState] = None,
                          density: float = 1200.0,
+                         hard: bool = False,
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """One room -> (points [n, 6] xyz+rgb, labels [n] int32).
 
     density: points/m² on structural surfaces (real S3DIS rooms run
     ~1-5k/m² before the 0.05 m grid downsample; the prep's ds_stride
     dominates the final density, so moderate values suffice).
+
+    hard: real-scan failure modes — ~1/r² scanner-distance density
+    gradient, spherical occlusion dropout, outlier speckle, and a rarer
+    minority-class draw (sofa/board/column appear in ~half as many rooms,
+    sharpening the class imbalance toward real S3DIS's inverse-log-weight
+    regime).
     """
     rng = rng or np.random.RandomState()
+    rare = 0.5 if hard else 1.0
     w = rng.uniform(4.0, 9.0)        # x extent
     dpt = rng.uniform(3.5, 8.0)      # y extent
     h = rng.uniform(2.7, 3.4)        # height
@@ -130,7 +174,7 @@ def synthetic_s3dis_room(rng: Optional[np.random.RandomState] = None,
             BEAM)
     # columns (thin vertical boxes at walls): the Morton worst case —
     # vertically extended, metrically tight
-    for _ in range(rng.poisson(1.2)):
+    for _ in range(rng.poisson(1.2 * rare)):
         cx = rng.uniform(0.3, w - 0.3)
         side = rng.choice([0.0, dpt])
         cy = np.clip(side + (0.25 if side == 0 else -0.25), 0.2, dpt - 0.2)
@@ -146,7 +190,7 @@ def synthetic_s3dis_room(rng: Optional[np.random.RandomState] = None,
         dx = rng.uniform(0.5, w - 1.5)
         add(_sample_rect(rng, (dx, dpt - 0.02, 0), (1.0, 0, 0),
                          (0, 0, 2.1), density), DOOR)
-    for _ in range(rng.poisson(1.0)):
+    for _ in range(rng.poisson(1.0 * rare)):
         bx = rng.uniform(0.5, w - 2.0)
         add(_sample_rect(rng, (0.02, bx if bx < dpt - 1.5 else dpt - 1.5,
                                1.1), (0, rng.uniform(1.0, 1.8), 0),
@@ -174,7 +218,7 @@ def synthetic_s3dis_room(rng: Optional[np.random.RandomState] = None,
                      density * 1.5), CHAIR)                  # seat
             add(_box(rng, (cx, cy, 0.45), (cx + 0.05, cy + 0.45, 0.95),
                      density), CHAIR)                        # back
-    if rng.rand() < 0.4:
+    if rng.rand() < 0.4 * rare:
         sx = rng.uniform(0.5, w - 2.2)
         add(_box(rng, (sx, 0.1, 0), (sx + 1.8, 0.95, 0.75), density), SOFA)
         add(_box(rng, (sx, 0.1, 0.75), (sx + 1.8, 0.35, 1.05), density),
@@ -203,6 +247,8 @@ def synthetic_s3dis_room(rng: Optional[np.random.RandomState] = None,
     labels = np.concatenate(lbl, 0)
     rgb = np.concatenate([_color_for(rng, int(lb[0]), len(p))
                           for p, lb in zip(pts, lbl)], 0)
+    if hard:
+        xyz, labels, rgb = _hard_postprocess(xyz, labels, rgb, rng)
     # prepare_room/normalize_block expects sensor-range rgb (0..255, like the
     # real S3DIS .txt rooms) and maps it to ~[-1, 1] via (c-128)/130.5;
     # feeding unit-range colors would collapse every class to ~-0.98.
@@ -211,24 +257,54 @@ def synthetic_s3dis_room(rng: Optional[np.random.RandomState] = None,
     return points[perm], labels[perm]
 
 
+def synthetic_s3dis_building(rng: Optional[np.random.RandomState] = None,
+                             num_rooms: int = 2, hard: bool = False,
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    """Multi-room SCENE: rooms placed side by side along x with abutting
+    walls, so sampled blocks span room boundaries (back-to-back double
+    walls, mixed contexts) the way real S3DIS areas do — single-room
+    generators never produce blocks that straddle two rooms."""
+    rng = rng or np.random.RandomState()
+    all_pts, all_lbl = [], []
+    xoff = 0.0
+    for _ in range(num_rooms):
+        points, labels = synthetic_s3dis_room(rng, hard=hard)
+        points = points.copy()
+        points[:, 0] += xoff - points[:, 0].min()
+        all_pts.append(points)
+        all_lbl.append(labels)
+        xoff = points[:, 0].max() + 0.08   # abutting double wall
+    return (np.concatenate(all_pts, 0).astype(np.float32),
+            np.concatenate(all_lbl, 0))
+
+
 def room_blocks(rng: Optional[np.random.RandomState] = None,
                 num_rooms: int = 1, use_covars: bool = True,
                 block_size: float = 3.0, ds_stride: float = 0.05,
                 model: str = "train",
-                with_mins: bool = False) -> List[Dict]:
+                with_mins: bool = False,
+                hard: bool = False,
+                rooms_per_scene: int = 1) -> List[Dict]:
     """Rooms -> training blocks through the REAL offline+online prep
     (s3dis.prepare_room + blocks_from_room_pkl semantics, in memory).
 
     ``with_mins=True`` additionally carries each block's absolute origin
     ("block_min") so scene-level eval can reassemble the room
-    (eval_scene_probs adds it back)."""
+    (eval_scene_probs adds it back).  ``hard=True`` enables the real-scan
+    failure modes (density gradient, occlusion, speckle, rarer minority
+    classes); ``rooms_per_scene>1`` cuts blocks from multi-room buildings
+    so blocks straddle room boundaries."""
     from . import augment
     from . import s3dis
 
     rng = rng or np.random.RandomState()
     out: List[Dict] = []
     for _ in range(num_rooms):
-        points, labels = synthetic_s3dis_room(rng)
+        if rooms_per_scene > 1:
+            points, labels = synthetic_s3dis_building(
+                rng, num_rooms=rooms_per_scene, hard=hard)
+        else:
+            points, labels = synthetic_s3dis_room(rng, hard=hard)
         prep = s3dis.prepare_room(points, labels, ds_stride=ds_stride,
                                   block_size=block_size, rng=rng)
         for i in range(len(prep["xyzs"])):

@@ -68,22 +68,27 @@ def main():
                         "writes test/ + test_1/..test_K/); each arm's probs "
                         "are interpolated onto the dense cloud in the "
                         "original frame and AVERAGED")
+    p.add_argument("--exact-search", action="store_true",
+                   help="use the EXACT global neighbor search at eval "
+                        "instead of the windowed training path.  MEASURED "
+                        "WORSE at frozen params (scripts/eval_parity.py, "
+                        "results/eval_parity.json: windowed 0.7796 vs "
+                        "exact 0.7577 mean scene mIoU — the model adapts "
+                        "to the search it trained with, so switching "
+                        "searches at eval is a train/eval mismatch); kept "
+                        "for diagnostics")
     p.add_argument("--fast-search", action="store_true",
-                   help="use the windowed approximate neighbor search "
-                        "(the training-throughput default).  EVAL defaults "
-                        "to the EXACT global search: inference is "
-                        "throughput-insensitive and the windowed path's "
-                        "recall_target=0.8 / overflow-slot losses "
-                        "(94.6-98.1%% per-band recall) should not leak "
-                        "into reported mIoU or submissions")
+                   help="deprecated no-op: the windowed training search "
+                        "is now the eval default (see --exact-search)")
     args = p.parse_args()
     log = get_logger("pcs_tpu.interpolate")
-    if not args.fast_search:
+    if args.exact_search:
         # read at trace time by ops.search.band_neighbors_auto — must be
         # set before the first model trace
         os.environ["PCS_DISABLE_WINDOWED"] = "1"
-        log.info("exact-search eval (pass --fast-search for the windowed "
-                 "training path)")
+        log.info("exact-search eval (diagnostic arm; the windowed "
+                 "training-matched search is the default and measured "
+                 "MORE accurate at frozen params — eval_parity.json)")
 
     over = {}
     if args.model:

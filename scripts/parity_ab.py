@@ -54,16 +54,40 @@ def make_batches(blocks, num_points, batch, rng, train):
     return out
 
 
+def scannetify(blocks, rng):
+    """Map synthetic S3DIS-like blocks onto the ScanNet training contract
+    (train_gpn_scannet_new.py:66-88): NO input colors (feat_dim 0), labels
+    shifted up by 1 with label 0 = unannotated/ignored (3% of points)."""
+    out = []
+    for b in blocks:
+        lbl = b["labels"].astype(np.int32) + 1
+        lbl[rng.rand(len(lbl)) < 0.03] = 0
+        out.append({"xyz": b["xyz"],
+                    "feats": np.zeros((len(lbl), 0), np.float32),
+                    "labels": lbl})
+    return out
+
+
 def run_arm(arm, train_blocks, test_blocks, args, log):
     if arm == "exact":
         os.environ["PCS_DISABLE_WINDOWED"] = "1"
     else:
         os.environ.pop("PCS_DISABLE_WINDOWED", None)
 
-    cfg = s3dis_config(model=args.model,
-                       data_num_points=args.num_points,
-                       optim_epoch_steps=max(1, len(train_blocks)
-                                             // args.batch))
+    from pointcloudsegmentation_tpu.train import scannet_config
+
+    steps = max(1, len(train_blocks) // args.batch)
+    if args.config == "scannet":
+        # synthetic rooms carry 13 classes; keep ScanNet's ignore-label-0
+        # + shift semantics but size the head to the data
+        cfg = scannet_config(model=args.model or "pointnet_scannet",
+                             data_num_points=args.num_points,
+                             data_num_classes=13,
+                             optim_epoch_steps=steps)
+    else:
+        cfg = s3dis_config(model=args.model or "pointnet_s3dis",
+                           data_num_points=args.num_points,
+                           optim_epoch_steps=steps)
     trainer = Trainer(cfg, search_chunk=min(2048, args.num_points))
     rng = jax.random.PRNGKey(args.seed)
     nprng = np.random.RandomState(args.seed)
@@ -102,19 +126,34 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--num-points", type=int, default=8192)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--model", type=str, default="pointnet_s3dis",
+    p.add_argument("--model", type=str, default=None,
                    help="registry key (e.g. ecd_s3dis to A/B the "
-                        "edge-conv family through the same harness)")
+                        "edge-conv family through the same harness); "
+                        "default: the config's flagship")
+    p.add_argument("--config", choices=["s3dis", "scannet"],
+                   default="s3dis",
+                   help="scannet: no input colors, labels shifted +1 with "
+                        "0 = ignore (the reference ScanNet recipe, "
+                        "train_gpn_scannet_new.py:66-88)")
     p.add_argument("--arms", nargs="*", default=["windowed", "exact"])
+    p.add_argument("--hard", action="store_true",
+                   help="hard synthetic regime: scanner density gradient, "
+                        "occlusion dropout, speckle, rarer minority "
+                        "classes, 2-room scenes (blocks straddle rooms)")
     p.add_argument("--out", type=str, default="results/parity_ab.json")
     args = p.parse_args()
     log = get_logger("pcs_tpu.parity_ab")
 
+    gen_kw = dict(hard=True, rooms_per_scene=2) if args.hard else {}
     rng = np.random.RandomState(args.seed)
     train_blocks = synth_rooms.room_blocks(rng, args.train_rooms,
-                                           model="train")
+                                           model="train", **gen_kw)
     test_blocks = synth_rooms.room_blocks(np.random.RandomState(10_000),
-                                          args.test_rooms, model="test")
+                                          args.test_rooms, model="test",
+                                          **gen_kw)
+    if args.config == "scannet":
+        train_blocks = scannetify(train_blocks, rng)
+        test_blocks = scannetify(test_blocks, np.random.RandomState(10_001))
     log.info("blocks: %d train / %d test; median points %d", len(train_blocks),
              len(test_blocks),
              int(np.median([len(b["xyz"]) for b in train_blocks])))
